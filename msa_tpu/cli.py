@@ -1,0 +1,63 @@
+"""CLI with the reference's exact I/O contract.
+
+Usage (drop-in for ``mpirun <binary> < dataset``)::
+
+    python -m msa_tpu.cli < mseq.dat
+    python -m msa_tpu.cli --backend numpy --input data/mseq1.dat
+
+Reads pxy, pgap, k and k sequences; prints ``Time: <us> us``, the SHA-512
+chain hash, and the space-separated penalties, byte-identical to the
+reference driver (``seqalign-mpi-skeleton.cpp:61-69``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="msa_tpu", description=__doc__)
+    parser.add_argument(
+        "--backend",
+        default="auto",
+        choices=["auto", "numpy", "native", "jax", "pallas"],
+        help="pairwise alignment backend (auto picks by device and size)",
+    )
+    parser.add_argument(
+        "--input", default=None, help="read problem from file instead of stdin"
+    )
+    parser.add_argument(
+        "--batched",
+        action="store_true",
+        help="use the batched device engine (buckets pairs, shards over mesh)",
+    )
+    args = parser.parse_args(argv)
+
+    from msa_tpu.utils.msaio import parse_file, parse_input, format_output
+
+    if args.input:
+        problem = parse_file(args.input)
+    else:
+        problem = parse_input(sys.stdin)
+
+    start = time.time_ns() // 1000
+    if args.batched:
+        from msa_tpu.parallel.engine import align_kway_sharded
+
+        result = align_kway_sharded(problem)
+    else:
+        from msa_tpu.models.kway import align_kway
+
+        result = align_kway(problem, backend=args.backend)
+    elapsed = time.time_ns() // 1000 - start
+
+    sys.stdout.write(
+        format_output(elapsed, result.chain_hash, result.penalties)
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

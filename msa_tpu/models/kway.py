@@ -1,0 +1,62 @@
+"""k-way MSA by sum of pairwise alignments.
+
+Replicates the reference's orchestration semantics
+(``seqalign-mpi-skeleton.cpp:117-175``; distributed version
+``submit/xuliny-seqalkway.cpp:232-364``): enumerate all k(k-1)/2 pairs in
+canonical task order, align each pair, then fold the per-pair hashes into one
+SHA-512 chain and collect penalties, both indexed by task id so the output is
+independent of execution order and sharding.
+
+The reference's dynamic MPI master-worker queue is replaced by a
+deterministic schedule (``msa_tpu.parallel.schedule``): the DP cost model
+cost = m*n is exact, so every participant derives the same assignment locally
+— the design the reference itself validated in its ``testing8`` static-LPT
+variant (``testing8/test.cpp:232-251``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+from msa_tpu.models.pairwise import PairwiseAligner, PairResult
+from msa_tpu.utils.hashing import chain_hashes
+from msa_tpu.utils.msaio import Problem
+from msa_tpu.utils.tasks import pair_task_list
+
+
+@dataclasses.dataclass
+class KWayResult:
+    chain_hash: str
+    penalties: List[int]
+    pair_results: Optional[List[PairResult]] = None
+
+
+class KWayAligner:
+    def __init__(self, pxy: int, pgap: int, backend: str = "auto"):
+        self.pairwise = PairwiseAligner(pxy, pgap, backend=backend)
+
+    def align_all(
+        self, genes: Sequence[str], keep_alignments: bool = False
+    ) -> KWayResult:
+        tasks = pair_task_list(len(genes))
+        results: List[Optional[PairResult]] = [None] * len(tasks)
+        for t in tasks:
+            results[t.task_id] = self.pairwise.do_task(
+                t.task_id, genes[t.i], genes[t.j]
+            )
+        penalties = [r.penalty for r in results]
+        chain = chain_hashes(r.problem_hash for r in results)
+        return KWayResult(
+            chain_hash=chain,
+            penalties=penalties,
+            pair_results=results if keep_alignments else None,
+        )
+
+
+def align_kway(
+    problem: Problem, backend: str = "auto", keep_alignments: bool = False
+) -> KWayResult:
+    """One-shot driver: Problem -> (chain hash, penalties)."""
+    engine = KWayAligner(problem.pxy, problem.pgap, backend=backend)
+    return engine.align_all(problem.genes, keep_alignments=keep_alignments)

@@ -1,0 +1,26 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Multi-chip sharding is validated the TPU-native way — on a virtual CPU mesh
+(`xla_force_host_platform_device_count`), replacing the reference's
+real-cluster-only Slurm testing (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+DATA = pathlib.Path(__file__).resolve().parent.parent / "data"
+
+
+@pytest.fixture(scope="session")
+def data_dir() -> pathlib.Path:
+    return DATA
