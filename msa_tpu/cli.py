@@ -35,6 +35,7 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
+    from msa_tpu.utils import jaxenv  # noqa: F401  (compile-cache setup)
     from msa_tpu.utils.msaio import parse_file, parse_input, format_output
 
     if args.input:

@@ -8,6 +8,11 @@ real-cluster-only Slurm testing (SURVEY.md §4).
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compilation cache: compiles go through a remote service in this
+# environment (~2s each), so caching them across runs keeps CI fast.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_msa")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
