@@ -30,7 +30,7 @@ import numpy as np
 
 from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL, bucket_length, encode_padded
 
-NEG_FILL = jnp.int32(2**30)  # "+inf"-ish filler for invalid lanes
+NEG_FILL = 2**30  # "+inf"-ish filler for invalid lanes
 
 DIAG_MATCH, DIAG_SUB, UP, LEFT = 0, 1, 2, 3
 
