@@ -71,7 +71,8 @@ def _shift_insert(v, elem, row_mask, lane_mask):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_bands", "rb", "v_len", "emit_rows", "interpret", "unroll"
+        "num_bands", "rb", "v_len", "emit_rows", "emit_snaps", "interpret",
+        "unroll", "snap_k",
     ),
 )
 def _band_sweep_call(
@@ -83,14 +84,21 @@ def _band_sweep_call(
     rb: int,
     v_len: int,
     emit_rows: bool,
+    emit_snaps: bool = False,
     interpret: bool = False,
-    unroll: int = 8,
+    unroll: int = 128,
+    snap_k: int = 512,
 ):
     R = v_len // LANES
     Yp = ybuf.shape[1]
     assert rb % LANES == 0 and Yp % LANES == 0
+    KC = snap_k // LANES  # chunks per snapshot period
+    s_max = (rb + Yp) // snap_k + 1
 
-    def kernel(params_ref, x_ref, y_ref, score_ref, rows_ref, brow):
+    def kernel(
+        params_ref, x_ref, y_ref, score_ref, rows_ref, snaps_ref,
+        brow, snap_stage, snap_sem,
+    ):
         b = pl.program_id(0)
         n = params_ref[1]
         pxy = params_ref[2]
@@ -134,6 +142,23 @@ def _band_sweep_call(
             def outer(k, carry):
                 prev1, prev1s, prev2s, yd = carry
                 base = pl.multiple_of(k * LANES, LANES)
+
+                if emit_snaps:
+                    # Snapshot the wavefront state entering step base+1
+                    # every snap_k steps: transpose to flat-q raster and DMA
+                    # to HBM. Seeds the traceback walk (pallas_walk).
+                    @pl.when(k % KC == 0)
+                    def _():
+                        snap_stage[0, :, :] = prev1.T
+                        snap_stage[1, :, :] = prev1s.T
+                        snap_stage[2, :, :] = prev2s.T
+                        sidx = b * s_max + k // KC
+                        cp = pltpu.make_async_copy(
+                            snap_stage, snaps_ref.at[sidx], snap_sem
+                        )
+                        cp.start()
+                        cp.wait()
+
                 ychunk = y_ref[0:1, pl.ds(base, LANES)]
                 topchunk = brow[0:1, pl.ds(base, LANES)]
                 bacc = jnp.zeros((1, LANES), jnp.int32)
@@ -228,20 +253,29 @@ def _band_sweep_call(
         )
 
         if emit_rows:
-            rows_ref[0, :] = brow[0, :]
+            rows_ref[0, 0:1, :] = brow[0:1, :]
 
+    # (num_bands, 8, Yp): the (8, Yp) trailing dims satisfy the TPU block
+    # tiling rule; only row 0 of the middle dim is used.
     rows_shape = (
-        jax.ShapeDtypeStruct((num_bands, Yp), jnp.int32)
+        jax.ShapeDtypeStruct((num_bands, 8, Yp), jnp.int32)
         if emit_rows
         else jax.ShapeDtypeStruct((1, 1), jnp.int32)
     )
     rows_spec = (
-        pl.BlockSpec((1, Yp), lambda b: (b, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, 8, Yp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         if emit_rows
         else pl.BlockSpec(memory_space=pltpu.VMEM)
     )
+    snaps_shape = (
+        jax.ShapeDtypeStruct(
+            (num_bands * s_max, 3, LANES, R), jnp.int32
+        )
+        if emit_snaps
+        else jax.ShapeDtypeStruct((1, 1, 1, 1), jnp.int32)
+    )
 
-    score, rows = pl.pallas_call(
+    score, rows, snaps = pl.pallas_call(
         kernel,
         grid=(num_bands,),
         in_specs=[
@@ -254,17 +288,22 @@ def _band_sweep_call(
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             rows_spec,
+            pl.BlockSpec(memory_space=pltpu.HBM),  # snaps
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             rows_shape,
+            snaps_shape,
         ),
         scratch_shapes=[
             pltpu.VMEM((1, Yp), jnp.int32),  # carried boundary row
+            pltpu.VMEM((3, LANES, R), jnp.int32),  # snapshot staging
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(params, xbands, ybuf)
-    return score, rows
+    return score, rows, snaps
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -292,13 +331,24 @@ def _pack_band_chars(x: str, rb: int, v_len: int) -> np.ndarray:
     return out.reshape(num_bands, LANES, R).transpose(0, 2, 1).copy()
 
 
-def _band_geometry(m: int, n: int, rb: int):
+SNAP_K = 512  # snapshot stride for the traceback walk (see pallas_walk)
+
+
+def _band_geometry(m: int, n: int, rb: int, y_cap: int = 0,
+                   align_mode: bool = False):
     rb = min(rb, _round_up(max(m, 1), LANES))
     v_len = _round_up(rb + 1, 8 * LANES)
+    if align_mode:
+        # Snapshot slices require the state's last dim to be a full 128
+        # lanes: R = v_len/128 = 128 exactly (square transposes, aligned
+        # HBM slicing). Wasted lanes are masked garbage.
+        v_len = 128 * LANES
     num_bands = max(1, -(-m // rb))
     q_last = m - (num_bands - 1) * rb
-    # y buffer must cover chunked reads up to num_chunks*128 + 128.
-    Yp = _round_up(rb + n + 2 * LANES, 8 * LANES)
+    # y buffer must cover chunked reads up to num_chunks*128 + 128. With
+    # y_cap the shape is independent of the exact n (one compile per rb /
+    # num_bands bucket); the sweep itself runs only rb + n real steps.
+    Yp = _round_up(rb + max(n, y_cap) + 2 * SNAP_K, 8 * LANES)
     return rb, v_len, num_bands, q_last, Yp
 
 
@@ -309,18 +359,22 @@ def _band_sweep(
     pgap: int,
     rb: int = 8192,
     emit_rows: bool = False,
+    emit_snaps: bool = False,
     interpret: bool = False,
-    unroll: int = 8,
+    unroll: int = 128,
+    y_cap: int = 0,
 ):
     m, n = len(x), len(y)
-    rb, v_len, num_bands, q_last, Yp = _band_geometry(m, n, rb)
+    rb, v_len, num_bands, q_last, Yp = _band_geometry(
+        m, n, rb, y_cap=y_cap, align_mode=emit_snaps
+    )
 
     xbands = _pack_band_chars(x, rb, v_len)
     ycodes = np.full((1, Yp), Y_SENTINEL, dtype=np.int32)
     ycodes[0, :n] = np.frombuffer(y.encode("latin-1"), dtype=np.uint8)
     params = np.array([m, n, pxy, pgap, q_last, 0, 0, 0], dtype=np.int32)
 
-    score, rows = _band_sweep_call(
+    score, rows, snaps = _band_sweep_call(
         jnp.asarray(xbands),
         jnp.asarray(ycodes),
         jnp.asarray(params),
@@ -328,10 +382,12 @@ def _band_sweep(
         rb=rb,
         v_len=v_len,
         emit_rows=emit_rows,
+        emit_snaps=emit_snaps,
         interpret=interpret,
         unroll=unroll,
+        snap_k=SNAP_K,
     )
-    return score[0, 0], rows
+    return score[0, 0], rows, snaps
 
 
 def nw_score_pallas(
@@ -341,10 +397,10 @@ def nw_score_pallas(
     pgap: int,
     rb: int = 8192,
     interpret: bool = False,
-    unroll: int = 8,
+    unroll: int = 128,
 ) -> int:
     """Minimum penalty via the banded Pallas sweep."""
-    score, _ = _band_sweep(
+    score, _, _ = _band_sweep(
         x, y, pxy, pgap, rb=rb, emit_rows=False, interpret=interpret,
         unroll=unroll,
     )

@@ -1,0 +1,415 @@
+"""Pallas traceback for big pairs: segment recompute + in-kernel walk.
+
+The reference reconstructs alignments by walking a fully materialized DP
+matrix (``seqalign-mpi-skeleton.cpp:236-262``) — up to 30 GB for 100k-scale
+pairs, which no TPU HBM layout should replicate. Here the fill kernel
+(``pallas_nw``) snapshots its diagonal wavefront state every ``K`` steps;
+this module's walk kernel then re-derives, for each K-step *segment* along
+the traceback path, a narrow windowed band of the DP (width ``W`` lanes
+centred below the walk position — forward recompute contaminates lanes
+upward from the window base at one lane per step, so a 2K window plus margin
+keeps every cell the walk touches exact), stores the segment's move matrix in
+VMEM, and walks it in-kernel, emitting the reference's exact tie-break moves
+(match -> diag -> up -> left).
+
+One launch per pair covers all bands: the grid iterates (band, segment) in
+descending diagonal order; the walk position is carried across grid steps in
+SMEM scratch (the TPU grid is sequential). Segments the path does not touch
+are predicated off. Memory: O(v_len) per snapshot in HBM, O(K*W) VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
+
+LANES = 128
+K = 512  # snapshot stride (diagonal steps per segment)
+KC = K // LANES
+W_MAX = 2 * K + 640  # recompute window width in lanes (multiple of 128)
+NEG_FILL = 2**30
+
+
+def _shift_insert_1d(v, elem_vec, lane0_mask):
+    """(1, W) flat shift by one lane, inserting elem_vec's lane 0 at lane 0."""
+    rolled = pltpu.roll(v, shift=1, axis=1)
+    return jnp.where(lane0_mask, elem_vec, rolled)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bands", "s_max", "rb", "v_len", "interpret"),
+)
+def _walk_call(
+    snaps: jnp.ndarray,  # (num_bands*s_max*3, 1, v_len) int32 flat snapshots
+    rows_all: jnp.ndarray,  # (num_bands, 1, Yp) int32; [b] = dp[b*rb][j] @ j-1
+    xshift: jnp.ndarray,  # (1, Xp) int32; xshift[t] = x[t-1]
+    yfw: jnp.ndarray,  # (1, P1 + Ypad) int32; yfw[P1 + t] = y[t]
+    yrev: jnp.ndarray,  # (1, *) int32; yrev[P1 + P0 + n - 1 - t] = y[t]
+    params: jnp.ndarray,  # (8,) int32: m, n, pxy, pgap, yoff, p1, 0, 0
+    *,
+    num_bands: int,
+    s_max: int,
+    rb: int,
+    v_len: int,
+    interpret: bool = False,
+):
+    G = num_bands * s_max
+    W = min(W_MAX, v_len)  # whole state fits -> window is exact (w0 = 0)
+
+    def kernel(
+        params_ref, snaps_ref, rows_ref, xs_ref, yfw_ref, yrev_ref,
+        moves_ref,
+        st, seeds, xw, yd0, yseg, tseg, dirs, sem,
+    ):
+        g = pl.program_id(0)
+        m = params_ref[0]
+        n = params_ref[1]
+        pxy = params_ref[2]
+        pgap = params_ref[3]
+        yoff = params_ref[4]  # P1 + P0 + n
+        p1 = params_ref[5]  # static lead pad of yfw
+
+        b = num_bands - 1 - g // s_max
+        s = (s_max - 1) - g % s_max
+        dl0 = s * K
+        i0 = b * rb
+
+        lane0_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) == 0
+        flat_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        flat_k = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        @pl.when(g == 0)
+        def _():
+            st[0] = m
+            st[1] = n
+            st[2] = 0  # done flag
+
+        i_cur = st[0]
+        j_cur = st[1]
+        done = st[2]
+        q_cur = i_cur - i0
+        dl_cur = q_cur + j_cur
+        active = (
+            (done == 0)
+            & (q_cur >= 1)
+            & (q_cur <= rb)
+            & (dl_cur > dl0)
+        )
+
+        # Per-segment metadata lives in row 1 of the moves block:
+        # lane 0 = move count, lane 1 = end i, lane 2 = end j.
+        def put_counts(cnt, iv, jv):
+            cvec = jnp.where(
+                flat_k == 0,
+                cnt,
+                jnp.where(flat_k == 1, iv, jnp.where(flat_k == 2, jv, 0)),
+            )
+            moves_ref[0, 1:2, 0:LANES] = cvec
+
+        put_counts(0, i_cur, j_cur)
+
+        @pl.when(active)
+        def _():
+            w0 = jnp.clip(
+                ((q_cur - 2 * K - 384) // LANES) * LANES, 0, v_len - W
+            )
+
+            # --- DMA seeds and feeds ---
+            # All sliced leading dims ride axis 0 (untiled); the trailing
+            # (1, len) blocks are full/128-aligned, as Mosaic DMA requires.
+            sbase = (b * s_max + s) * 3
+            cps = [
+                pltpu.make_async_copy(
+                    snaps_ref.at[pl.ds(sbase + r, 1), :, pl.ds(pl.multiple_of(w0, LANES), W)],
+                    seeds.at[pl.ds(r, 1)],
+                    sem.at[r],
+                )
+                for r in range(3)
+            ]
+            cp_x = pltpu.make_async_copy(
+                xs_ref.at[0:1, :, pl.ds(pl.multiple_of(i0 + w0, LANES), W)], xw, sem.at[3]
+            )
+            cp_y0 = pltpu.make_async_copy(
+                yrev_ref.at[0:1, :, pl.ds(pl.multiple_of(yoff - dl0 + w0, LANES), W)], yd0, sem.at[4]
+            )
+            cp_yf = pltpu.make_async_copy(
+                yfw_ref.at[0:1, :, pl.ds(pl.multiple_of(p1 + dl0 - w0, LANES), K)], yseg, sem.at[5]
+            )
+            cp_t = pltpu.make_async_copy(
+                rows_ref.at[pl.ds(b, 1), :, pl.ds(pl.multiple_of(dl0, LANES), K)], tseg, sem.at[6]
+            )
+            for cp in cps + [cp_x, cp_y0, cp_yf, cp_t]:
+                cp.start()
+            for cp in cps + [cp_x, cp_y0, cp_yf, cp_t]:
+                cp.wait()
+
+            xv = xw[0, 0:1, :]
+            w0_is_0 = w0 == 0
+            top_inject_mask = lane0_w & w0_is_0
+
+            # --- recompute K steps, windowed ---
+            def chunk_body(c, carry):
+                prev1, prev1s, prev2s, ydv = carry
+                cbase = pl.multiple_of(c * LANES, LANES)
+                ywin = yseg[0, 0:1, pl.ds(cbase, LANES)]
+                twin = tseg[0, 0:1, pl.ds(cbase, LANES)]
+                # widen chunks to W lanes so lane-0 selects broadcast right
+                # (jnp.where needs shapes to broadcast: (1,128) vs (1,W) do
+                # not; pad by static slice into a (1, W) zero canvas)
+
+                def step(si, icarry):
+                    prev1, prev1s, prev2s, ydv, ywin, twin = icarry
+                    t = cbase + si + 1
+                    dl = dl0 + t
+
+                    ydv = jnp.where(
+                        lane0_w,
+                        jax.lax.broadcast_in_dim(
+                            ywin[0:1, 0:1], (1, W), (0, 1)
+                        ),
+                        pltpu.roll(ydv, shift=1, axis=1),
+                    )
+                    match = xv == ydv
+                    sub = jnp.where(match, 0, pxy)
+                    t1 = prev2s + sub
+                    t2 = jnp.minimum(prev1, prev1s) + pgap
+                    cur = jnp.minimum(t1, t2)
+                    cur = jnp.where(
+                        top_inject_mask,
+                        jax.lax.broadcast_in_dim(
+                            twin[0:1, 0:1], (1, W), (0, 1)
+                        ),
+                        cur,
+                    )
+                    cur = jnp.where(
+                        flat_w == dl - w0, (i0 + dl) * pgap, cur
+                    )
+
+                    dirs_v = jnp.where(
+                        match,
+                        0,
+                        jnp.where(
+                            prev2s + pxy == cur,
+                            1,
+                            jnp.where(prev1s + pgap == cur, 2, 3),
+                        ),
+                    )
+                    dirs[pl.ds(t - 1, 1), :] = dirs_v
+
+                    ywin = pltpu.roll(ywin, shift=LANES - 1, axis=1)
+                    twin = pltpu.roll(twin, shift=LANES - 1, axis=1)
+                    prev1s_new = jnp.where(
+                        lane0_w, NEG_FILL, pltpu.roll(cur, shift=1, axis=1)
+                    )
+                    return (cur, prev1s_new, prev1s, ydv, ywin, twin)
+
+                prev1, prev1s, prev2s, ydv, _, _ = jax.lax.fori_loop(
+                    0, LANES, step,
+                    (prev1, prev1s, prev2s, ydv, ywin, twin),
+                    unroll=LANES,
+                )
+                return (prev1, prev1s, prev2s, ydv)
+
+            jax.lax.fori_loop(
+                0, KC, chunk_body,
+                (
+                    seeds[0, 0:1, :],
+                    seeds[1, 0:1, :],
+                    seeds[2, 0:1, :],
+                    yd0[0, 0:1, :],
+                ),
+            )
+
+            # --- walk the segment ---
+            def w_cond(stt):
+                i, j, cnt, mreg = stt
+                q = i - i0
+                return (q >= 1) & (i > 0) & (j > 0) & (q + j > dl0)
+
+            def w_body(stt):
+                i, j, cnt, mreg = stt
+                q = i - i0
+                dl = q + j
+                drow = dirs[pl.ds(dl - dl0 - 1, 1), :]
+                mv = jnp.max(jnp.where(flat_w == q - w0, drow, -1))
+                step_i = jnp.where(mv <= 1, 1, jnp.where(mv == 2, 1, 0))
+                step_j = jnp.where(mv <= 1, 1, jnp.where(mv == 3, 1, 0))
+                mreg = jnp.where(flat_k == cnt % LANES, mv, mreg)
+                cnt = cnt + 1
+
+                @pl.when(cnt % LANES == 0)
+                def _():
+                    moves_ref[
+                        0,
+                        0:1,
+                        pl.ds(
+                            pl.multiple_of(
+                                (cnt // LANES - 1) * LANES, LANES
+                            ),
+                            LANES,
+                        ),
+                    ] = mreg
+
+                return (i - step_i, j - step_j, cnt, mreg)
+
+            i_f, j_f, cnt_f, mreg_f = jax.lax.while_loop(
+                w_cond, w_body,
+                (i_cur, j_cur, 0, jnp.zeros((1, LANES), jnp.int32)),
+            )
+
+            @pl.when(cnt_f % LANES != 0)
+            def _():
+                moves_ref[
+                    0,
+                    0:1,
+                    pl.ds(
+                        pl.multiple_of((cnt_f // LANES) * LANES, LANES),
+                        LANES,
+                    ),
+                ] = mreg_f
+
+            put_counts(cnt_f, i_f, j_f)
+            st[0] = i_f
+            st[1] = j_f
+            st[2] = jnp.where((i_f == 0) | (j_f == 0), 1, 0)
+
+    moves = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            pl.BlockSpec(memory_space=pltpu.ANY),  # snaps
+            pl.BlockSpec(memory_space=pltpu.ANY),  # rows_all
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xshift
+            pl.BlockSpec(memory_space=pltpu.ANY),  # yfw
+            pl.BlockSpec(memory_space=pltpu.ANY),  # yrev
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        # (G, 8, K): the (8, K) trailing dims satisfy the TPU block tiling
+        # rule; row 0 = moves, row 1 = (count, end_i, end_j) metadata.
+        out_shape=jax.ShapeDtypeStruct((G, 8, K), jnp.int32),
+        scratch_shapes=[
+            pltpu.SMEM((8,), jnp.int32),  # walk state across grid steps
+            pltpu.VMEM((3, 1, W), jnp.int32),  # seeds
+            pltpu.VMEM((1, 1, W), jnp.int32),  # x window
+            pltpu.VMEM((1, 1, W), jnp.int32),  # yd init window
+            pltpu.VMEM((1, 1, K), jnp.int32),  # y forward feed
+            pltpu.VMEM((1, 1, K), jnp.int32),  # top row feed
+            pltpu.VMEM((K, W), jnp.int32),  # segment dirs
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(params, snaps, rows_all, xshift, yfw, yrev)
+    return moves
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+RB_ALIGN = 16256  # v_len = 16384 -> R = 128: square snapshot transposes
+Y_CAP = 100352  # spec max sequence length (~100k, docs/Project2B.pdf p.5)
+SMALL_THRESHOLD = 1 << 21  # below this m*n, the jnp full-dirs path wins
+
+
+def nw_align_pallas(
+    x: str, y: str, pxy: int, pgap: int, interpret: bool = False
+) -> Tuple[int, str, str]:
+    """Penalty + byte-exact alignment via Pallas fill + traceback walk."""
+    from msa_tpu.utils.alignment import moves_to_alignment
+
+    m, n = len(x), len(y)
+    if m == 0 or n == 0 or m * n <= SMALL_THRESHOLD:
+        from msa_tpu.ops.nw_jax import nw_align_jax
+
+        return nw_align_jax(x, y, pxy, pgap)
+
+    from msa_tpu.ops.pallas_nw import (
+        SNAP_K,
+        _band_geometry,
+        _band_sweep,
+    )
+
+    y_cap = max(Y_CAP, _round_up(n, 8 * LANES))
+    score, rows, snaps = _band_sweep(
+        x, y, pxy, pgap, rb=RB_ALIGN, emit_rows=True, emit_snaps=True,
+        interpret=interpret, y_cap=y_cap,
+    )
+    rb, v_len, num_bands, q_last, Yp = _band_geometry(
+        m, n, RB_ALIGN, y_cap=y_cap, align_mode=True
+    )
+    s_max = (rb + Yp) // SNAP_K + 1
+
+    # rows_all[b] = dp[b*rb][j] at index j-1: analytic row 0, then the fill's
+    # emitted band-bottom rows shifted down by one band.
+    jj = jnp.arange(Yp, dtype=jnp.int32)
+    analytic = ((jj + 1) * pgap)[None, :].astype(jnp.int32)
+    if num_bands > 1:
+        rows_all = jnp.concatenate(
+            [analytic, rows[: num_bands - 1, 0, :]], axis=0
+        )
+    else:
+        rows_all = analytic
+    rows_all = rows_all.reshape(num_bands, 1, Yp)
+    snaps_flat = snaps.reshape(num_bands * s_max * 3, 1, v_len)
+
+    xcodes = np.frombuffer(x.encode("latin-1"), dtype=np.uint8).astype(
+        np.int32
+    )
+    ycodes = np.frombuffer(y.encode("latin-1"), dtype=np.uint8).astype(
+        np.int32
+    )
+    P1 = rb
+    P0 = (-n) % LANES
+    Xp = _round_up(num_bands * rb + v_len + LANES, LANES)
+    xshift = np.full((1, 1, Xp), X_SENTINEL, np.int32)
+    xshift[0, 0, 1 : 1 + m] = xcodes
+    yfw_len = _round_up(P1 + s_max * K + 2 * K, LANES)
+    yfw = np.full((1, 1, yfw_len), Y_SENTINEL, np.int32)
+    yfw[0, 0, P1 : P1 + n] = ycodes
+    yrev_len = _round_up(P1 + LANES + y_cap + v_len + 2 * LANES, LANES)
+    yrev = np.full((1, 1, yrev_len), Y_SENTINEL, np.int32)
+    yrev[0, 0, P1 + P0 : P1 + P0 + n] = ycodes[::-1]
+    params = np.array(
+        [m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0], dtype=np.int32
+    )
+
+    moves = _walk_call(
+        snaps_flat,
+        rows_all,
+        jnp.asarray(xshift),
+        jnp.asarray(yfw),
+        jnp.asarray(yrev),
+        jnp.asarray(params),
+        num_bands=num_bands,
+        s_max=s_max,
+        rb=rb,
+        v_len=v_len,
+        interpret=interpret,
+    )
+    out_np = np.asarray(moves)
+    moves_np = out_np[:, 0, :]
+    counts_np = out_np[:, 1, :]
+    pieces: List[np.ndarray] = []
+    for g in range(moves_np.shape[0]):
+        c = int(counts_np[g, 0])
+        if c:
+            pieces.append(moves_np[g, :c])
+    if pieces:
+        all_moves = np.concatenate(pieces).tolist()
+    else:
+        all_moves = []
+    a1, a2 = moves_to_alignment(x, y, all_moves)
+    return int(score), a1, a2
