@@ -126,13 +126,15 @@ def diag_sweep(
 
     ii = jnp.arange(V, dtype=jnp.int32)
 
-    # d = 0 diagonal: dp[0][0] = 0.
-    prev2 = jnp.where(ii == 0, 0, NEG_FILL).astype(jnp.int32)
-    # Dummy "d = -1" diagonal for the first step's prev2 shift: all +inf.
-    prev1 = prev2
-    # We start the scan at d=1 with (prev2=d-1 diag, prev1=d0)... note the
-    # scan carries (prev2, prev1) = diagonals (d-2, d-1).
-    state = (jnp.full((V,), NEG_FILL, jnp.int32), prev2)
+    # Tie the initial carry's type to the inputs: under shard_map the inputs
+    # carry a varying manual axis, and a constant-built scan carry would
+    # otherwise mismatch the (varying) carry output.
+    vary0 = xpad[0] * 0
+
+    # d = 0 diagonal: dp[0][0] = 0. The scan carries (prev2, prev1) =
+    # diagonals (d-2, d-1); the dummy "d = -1" diagonal is all +inf.
+    prev2 = jnp.where(ii == 0, 0, NEG_FILL).astype(jnp.int32) + vary0
+    state = (jnp.full((V,), NEG_FILL, jnp.int32) + vary0, prev2)
 
     pxy = jnp.asarray(pxy, jnp.int32)
     pgap = jnp.asarray(pgap, jnp.int32)

@@ -405,3 +405,36 @@ def nw_score_pallas(
         unroll=unroll,
     )
     return int(score)
+
+
+def nw_align_pallas(*args, **kwargs):
+    """Re-export: fill + traceback walk live in ops.pallas_walk."""
+    from msa_tpu.ops.pallas_walk import nw_align_pallas as _impl
+
+    return _impl(*args, **kwargs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_bands", "rb", "v_len")
+)
+def build_fill_inputs(xshift8, ypad8, *, num_bands, rb, v_len):
+    """Device-side construction of the fill kernel's int32 inputs.
+
+    Only raw int8 code buffers cross the host->device link (the link is the
+    bottleneck in this environment); band packing, widening, and padding all
+    run on device. ``xshift8[t] = code(x[t-1])`` (sentinel elsewhere),
+    ``ypad8`` is y codes padded to Yp with sentinel.
+    """
+    xs = xshift8.astype(jnp.int32)
+    bands = jnp.stack(
+        [
+            jax.lax.dynamic_slice(xs, (b * rb,), (v_len,))
+            for b in range(num_bands)
+        ]
+    )
+    # flat q = c*R + r -> [r, c]: reshape to (LANES, R) then transpose.
+    xbands = bands.reshape(num_bands, LANES, v_len // LANES).transpose(
+        0, 2, 1
+    )
+    ybuf = ypad8.astype(jnp.int32)[None, :]
+    return xbands, ybuf

@@ -1,0 +1,53 @@
+"""Deterministic static LPT pair scheduling.
+
+Replaces the reference's dynamic MPI master–worker queue
+(``submit/xuliny-seqalkway.cpp:272-361``) with the scheme the reference
+itself proved out in its static-LPT variant (``testing8/test.cpp:212-251``):
+the DP cost model ``cost = m*n`` is *exact* (the fill is data-independent),
+so every participant derives the same assignment locally from broadcast
+metadata — no dispatcher, no point-to-point protocol, no
+MPI_THREAD_MULTIPLE analog. This is the natural SPMD design: the schedule
+is a pure function of the sequence lengths.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Sequence, Tuple
+
+from msa_tpu.utils.tasks import PairTask, pair_task_list
+
+
+def pair_costs(genes: Sequence[str]) -> List[Tuple[PairTask, int]]:
+    """(task, cost) for every pair; cost = m*n (exact DP cell count)."""
+    return [
+        (t, len(genes[t.i]) * len(genes[t.j])) for t in pair_task_list(
+            len(genes)
+        )
+    ]
+
+
+def lpt_schedule(
+    costs: Sequence[Tuple[PairTask, int]], num_shards: int
+) -> List[List[PairTask]]:
+    """Greedy longest-processing-time assignment, deterministic.
+
+    Sort tasks by descending cost (ties broken by task id so every process
+    computes the identical schedule), then repeatedly give the heaviest task
+    to the least-loaded shard (ties by shard index).
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    order = sorted(costs, key=lambda tc: (-tc[1], tc[0].task_id))
+    heap = [(0, shard) for shard in range(num_shards)]
+    heapq.heapify(heap)
+    shards: List[List[PairTask]] = [[] for _ in range(num_shards)]
+    for task, cost in order:
+        load, shard = heapq.heappop(heap)
+        shards[shard].append(task)
+        heapq.heappush(heap, (load + cost, shard))
+    return shards
+
+
+def schedule_for(genes: Sequence[str], num_shards: int) -> List[List[PairTask]]:
+    return lpt_schedule(pair_costs(genes), num_shards)

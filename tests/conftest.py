@@ -7,7 +7,11 @@ real-cluster-only Slurm testing (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Overwrite (not setdefault): the environment pre-sets JAX_PLATFORMS to the
+# TPU backend and a sitecustomize imports jax at interpreter start, freezing
+# the env-derived config defaults. Both the env var and the live config must
+# be forced back to CPU before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compilation cache: compiles go through a remote service in this
 # environment (~2s each), so caching them across runs keeps CI fast.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_msa")
@@ -18,6 +22,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 

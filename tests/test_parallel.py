@@ -1,0 +1,66 @@
+"""Scheduler + mesh-sharded engine tests (8 virtual CPU devices)."""
+
+import jax
+import numpy as np
+import pytest
+
+from msa_tpu.parallel.schedule import lpt_schedule, pair_costs, schedule_for
+from msa_tpu.utils.tasks import pair_task_list
+
+
+def test_lpt_deterministic_and_complete():
+    genes = ["A" * 100, "C" * 50, "G" * 200, "T" * 10, "AC" * 40]
+    s1 = schedule_for(genes, 4)
+    s2 = schedule_for(genes, 4)
+    assert s1 == s2
+    all_ids = sorted(t.task_id for shard in s1 for t in shard)
+    assert all_ids == [t.task_id for t in pair_task_list(len(genes))]
+
+
+def test_lpt_balances_load():
+    genes = ["A" * 1000] * 6  # 15 equal pairs
+    shards = schedule_for(genes, 5)
+    loads = [sum(1 for _ in s) for s in shards]
+    assert max(loads) - min(loads) <= 1
+
+
+def test_lpt_heaviest_first():
+    genes = ["A" * 1000, "C" * 1000, "G" * 10, "T" * 10]
+    costs = pair_costs(genes)
+    shards = lpt_schedule(costs, 2)
+    # the single million-cell pair must sit alone-ish on one shard
+    big_shard = [s for s in shards if any(t.task_id == 0 for t in s)][0]
+    big_load = sum(
+        len(genes[t.i]) * len(genes[t.j]) for t in big_shard
+    )
+    other = [s for s in shards if s is not big_shard][0]
+    other_load = sum(len(genes[t.i]) * len(genes[t.j]) for t in other)
+    assert big_load >= other_load
+
+
+def test_sharded_pair_scores_8_devices():
+    from msa_tpu.ops.reference import nw_score_numpy
+    from msa_tpu.parallel.engine import sharded_pair_scores
+    from msa_tpu.parallel.mesh import get_mesh
+    from msa_tpu.utils.tasks import pair_task_list
+
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    genes = ("AGGGCT", "AGGCA", "AAAGGGCT", "ACGTACGT", "TTTT", "GATTACA")
+    mesh = get_mesh()
+    scores = sharded_pair_scores(genes, 3, 2, mesh=mesh)
+    want = [
+        nw_score_numpy(genes[t.i], genes[t.j], 3, 2)
+        for t in pair_task_list(len(genes))
+    ]
+    np.testing.assert_array_equal(scores, np.array(want))
+
+
+def test_align_kway_sharded_single_process(data_dir):
+    from msa_tpu.parallel.engine import align_kway_sharded
+    from msa_tpu.utils.msaio import parse_file
+    from tests.test_golden import MSEQ1_HASH, MSEQ1_PENALTIES
+
+    problem = parse_file(str(data_dir / "mseq1.dat"))
+    result = align_kway_sharded(problem, backend="numpy")
+    assert result.penalties == MSEQ1_PENALTIES
+    assert result.chain_hash == MSEQ1_HASH
