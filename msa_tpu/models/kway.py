@@ -41,10 +41,28 @@ class KWayAligner:
     ) -> KWayResult:
         tasks = pair_task_list(len(genes))
         results: List[Optional[PairResult]] = [None] * len(tasks)
-        for t in tasks:
-            results[t.task_id] = self.pairwise.do_task(
-                t.task_id, genes[t.i], genes[t.j]
+
+        batched = self._batched_tasks(genes, tasks)
+        if batched:
+            from msa_tpu.ops.batch import align_pairs_batched
+            from msa_tpu.utils.hashing import pair_hash
+
+            triples = align_pairs_batched(
+                genes,
+                [(t.i, t.j) for t in batched],
+                self.pairwise.pxy,
+                self.pairwise.pgap,
             )
+            for t, (penalty, a1, a2) in zip(batched, triples):
+                results[t.task_id] = PairResult(
+                    t.task_id, penalty, a1, a2, pair_hash(a1, a2)
+                )
+
+        for t in tasks:
+            if results[t.task_id] is None:
+                results[t.task_id] = self.pairwise.do_task(
+                    t.task_id, genes[t.i], genes[t.j]
+                )
         penalties = [r.penalty for r in results]
         chain = chain_hashes(r.problem_hash for r in results)
         return KWayResult(
@@ -52,6 +70,29 @@ class KWayAligner:
             penalties=penalties,
             pair_results=results if keep_alignments else None,
         )
+
+    def _batched_tasks(self, genes: Sequence[str], tasks):
+        """Big pairs eligible for the one-call device pipeline."""
+        if self.pairwise.backend not in ("pallas", "auto"):
+            return []
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return []
+        except Exception:
+            return []
+        from msa_tpu.config import DEFAULT
+        from msa_tpu.ops.pallas_walk import X_CAP
+
+        big = [
+            t
+            for t in tasks
+            if len(genes[t.i]) * len(genes[t.j]) > DEFAULT.small_threshold
+            and len(genes[t.i]) <= X_CAP
+            and len(genes[t.j]) <= X_CAP
+        ]
+        return big if len(big) >= 2 else []
 
 
 def align_kway(

@@ -1,0 +1,191 @@
+"""Batched pair pipeline: the whole all-pairs workload in one device call.
+
+The reference amortized nothing — every pair was a fresh MPI task with its
+own messages (``submit/xuliny-seqalkway.cpp:305-331``). Here all big pairs
+share one compiled program (band grid sized for the length cap, inactive
+bands runtime-skipped), so the entire workload runs as a single jit call:
+the gene table is uploaded once as int8 codes, a ``lax.scan`` walks the pair
+list on device (fill -> snapshot -> walk -> compact per pair), and the
+traceback moves come back as one 2-bit-packed byte stream. Host<->device
+traffic is O(sum of sequence lengths), not O(pairs x buffers).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
+from msa_tpu.ops import pallas_walk as pwalk
+from msa_tpu.ops.pallas_nw import (
+    SNAP_K,
+    _band_geometry,
+    _band_sweep_call,
+    build_fill_inputs,
+)
+from msa_tpu.ops.pallas_walk import (
+    K,
+    LANES,
+    RB_ALIGN,
+    X_CAP,
+    Y_CAP,
+    _build_walk_inputs,
+    _compact_moves,
+    _round_up,
+    _walk_call,
+)
+from msa_tpu.utils.alignment import moves_to_alignment
+
+
+def _static_geometry():
+    """The one shared geometry for every capped pair (see pallas_walk)."""
+    rb, v_len, _, _, Yp = _band_geometry(
+        X_CAP, Y_CAP, RB_ALIGN, y_cap=Y_CAP, align_mode=True
+    )
+    num_bands = -(-X_CAP // rb)
+    s_max = (rb + Yp) // SNAP_K + 1
+    P1 = rb
+    Xp = _round_up(num_bands * rb + v_len + LANES, LANES)
+    yfw_len = _round_up(P1 + s_max * K + 2 * K, LANES)
+    yrev_len = _round_up(P1 + LANES + Y_CAP + v_len + 2 * LANES, LANES)
+    l_max = _round_up(num_bands * rb + Y_CAP + 2 * K, LANES)
+    return rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len, l_max
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad",))
+def _align_batch_device(gene_table, pair_params, *, p_pad):
+    """scan over pairs: fill + walk + compact, all on device.
+
+    gene_table: (k, Xp) int8, row g = gene codes in shifted layout
+                (table[g, t] = code(gene[t-1]), sentinel elsewhere).
+    pair_params: (p_pad, 24) int32 rows:
+        [0:8]  fill params  (m, n, pxy, pgap, q_last, real_nb, 0, 0)
+        [8:16] walk params  (m, n, pxy, pgap, yoff, p1, 0, 0)
+        [16]   x gene index, [17] y gene index, [18] rev_shift
+    """
+    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len,
+     l_max) = _static_geometry()
+
+    def one(carry, pp):
+        params_fill = pp[0:8]
+        params_walk = pp[8:16]
+        xi = pp[16]
+        yi = pp[17]
+        rev_shift = pp[18]
+        pgap = pp[3]
+
+        xshift8 = jax.lax.dynamic_index_in_dim(
+            gene_table, xi, keepdims=False
+        )
+        ypad_len = max(Yp, Y_CAP)
+        ypad8 = jax.lax.dynamic_slice(
+            jax.lax.dynamic_index_in_dim(gene_table, yi, keepdims=False),
+            (1,),
+            (ypad_len,),
+        )
+
+        xbands, ybuf = build_fill_inputs(
+            xshift8, ypad8[:Yp], num_bands=num_bands, rb=rb, v_len=v_len
+        )
+        score, rows, snaps = _band_sweep_call(
+            xbands, ybuf, params_fill,
+            num_bands=num_bands, rb=rb, v_len=v_len,
+            emit_rows=True, emit_snaps=True, snap_k=SNAP_K,
+        )
+
+        jj = jnp.arange(Yp, dtype=jnp.int32)
+        analytic = ((jj + 1) * pgap)[None, :].astype(jnp.int32)
+        rows_all = jnp.concatenate(
+            [analytic, rows[: num_bands - 1, 0, :]], axis=0
+        ).reshape(num_bands, 1, Yp)
+        snaps_flat = snaps.reshape(num_bands * s_max * 3, 1, v_len)
+
+        xs32, yfw, yrev = _build_walk_inputs(
+            xshift8, ypad8, rev_shift,
+            p1=P1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=Y_CAP,
+        )
+        moves = _walk_call(
+            snaps_flat, rows_all, xs32, yfw, yrev, params_walk,
+            num_bands=num_bands, s_max=s_max, rb=rb, v_len=v_len,
+        )
+        compact, total = _compact_moves(moves, l_max=l_max)
+        # 2-bit pack: moves are 0..3; padding beyond total is 0.
+        c = compact.astype(jnp.uint8).reshape(-1, 4)
+        packed = c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
+        return carry, (score[0, 0], packed, total)
+
+    _, (scores, packed, totals) = jax.lax.scan(one, None, pair_params)
+    return scores, packed, totals
+
+
+def align_pairs_batched(
+    genes: Sequence[str],
+    pairs: Sequence[Tuple[int, int]],  # (i, j) gene indices per pair
+    pxy: int,
+    pgap: int,
+    p_bucket: int = 16,
+) -> List[Tuple[int, str, str]]:
+    """Align many (big) pairs in one device call; returns per-pair results.
+
+    Every sequence must fit the cap (X_CAP). Pairs are padded to a multiple
+    of ``p_bucket`` with dummy work to bound recompilation.
+    """
+    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len,
+     l_max) = _static_geometry()
+
+    k = len(genes)
+    table = np.full((k, Xp), X_SENTINEL, np.int8)
+    for g, seq in enumerate(genes):
+        if len(seq) > X_CAP:
+            raise ValueError(f"sequence {g} exceeds cap {X_CAP}")
+        codes = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
+        table[g, 1 : 1 + len(codes)] = codes
+    # ypad slices read table[yi, 1 : 1+max(Yp, Y_CAP)]: rows must be long
+    # enough and y-padding must read as Y_SENTINEL, not X_SENTINEL.
+    ypad_len = max(Yp, Y_CAP)
+    if Xp < 1 + ypad_len:
+        raise AssertionError("gene table narrower than ypad window")
+    for g, seq in enumerate(genes):
+        table[g, 1 + len(seq) :] = Y_SENTINEL
+
+    num = len(pairs)
+    p_pad = max(p_bucket, -(-num // p_bucket) * p_bucket)
+    rows = np.zeros((p_pad, 24), dtype=np.int32)
+    for idx in range(p_pad):
+        i, j = pairs[idx] if idx < num else pairs[0]
+        m, n = len(genes[i]), len(genes[j])
+        real_nb = max(1, -(-m // rb))
+        q_last = m - (real_nb - 1) * rb
+        P0 = (-n) % LANES
+        rows[idx, 0:8] = [m, n, pxy, pgap, q_last, real_nb, 0, 0]
+        rows[idx, 8:16] = [m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0]
+        rows[idx, 16] = i
+        rows[idx, 17] = j
+        rows[idx, 18] = P1 + P0 + n - Y_CAP
+
+    scores, packed, totals = _align_batch_device(
+        jnp.asarray(table), jnp.asarray(rows), p_pad=p_pad
+    )
+    scores = np.asarray(scores)
+    packed = np.asarray(packed)
+    totals = np.asarray(totals)
+
+    out: List[Tuple[int, str, str]] = []
+    for idx in range(num):
+        total = int(totals[idx])
+        b = packed[idx, : -(-total // 4) if total else 0]
+        moves = np.empty(4 * len(b), dtype=np.int8)
+        moves[0::4] = b & 3
+        moves[1::4] = (b >> 2) & 3
+        moves[2::4] = (b >> 4) & 3
+        moves[3::4] = (b >> 6) & 3
+        i, j = pairs[idx]
+        a1, a2 = moves_to_alignment(
+            genes[i], genes[j], moves[:total]
+        )
+        out.append((int(scores[idx]), a1, a2))
+    return out

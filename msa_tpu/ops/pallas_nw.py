@@ -104,6 +104,10 @@ def _band_sweep_call(
         pxy = params_ref[2]
         pgap = params_ref[3]
         q_last = params_ref[4]
+        # Actual band count; bands >= real_nb are compiled in but skipped
+        # (zero-trip loops), so one compile serves every m in the bucket.
+        real_nb = params_ref[5]
+        band_on = b < real_nb
 
         row_mask = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) == 0
         lane_mask = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == 0
@@ -133,8 +137,9 @@ def _band_sweep_call(
         yd = jnp.full((R, LANES), Y_SENTINEL, jnp.int32)
 
         # dl = 1 .. rb + n, processed in 128-step chunks (over-running the
-        # end computes masked garbage that is never read back).
-        num_chunks = (rb + n + LANES - 1) // LANES
+        # end computes masked garbage that is never read back). Inactive
+        # bands run zero chunks.
+        num_chunks = jnp.where(band_on, (rb + n + LANES - 1) // LANES, 0)
         rb_row = rb % R  # lane q == rb lives at [rb % R, rb // R]
         rb_col = rb // R
 
@@ -205,7 +210,7 @@ def _band_sweep_call(
                     )
 
                     # Final score: dp[m][n] at q == q_last, dl == q_last + n.
-                    @pl.when((b == num_bands - 1) & (dl == q_last + n))
+                    @pl.when((b == real_nb - 1) & (dl == q_last + n))
                     def _():
                         score_ref[0, 0] = jnp.min(
                             jnp.where(flat_q == q_last, cur, NEG_FILL)
@@ -246,7 +251,8 @@ def _band_sweep_call(
         top_mask = flat_q == 0
         # Phase 1 (dl <= rb): left-border handling on. Phase 2: off.
         state = jax.lax.fori_loop(
-            0, rb // LANES, make_outer(True), (prev1, prev1s, prev2s, yd)
+            0, jnp.minimum(rb // LANES, num_chunks), make_outer(True),
+            (prev1, prev1s, prev2s, yd),
         )
         jax.lax.fori_loop(
             rb // LANES, num_chunks, make_outer(False), state
@@ -336,12 +342,15 @@ SNAP_K = 512  # snapshot stride for the traceback walk (see pallas_walk)
 
 def _band_geometry(m: int, n: int, rb: int, y_cap: int = 0,
                    align_mode: bool = False):
-    rb = min(rb, _round_up(max(m, 1), LANES))
+    if not align_mode:
+        # Score path: shrink the band to the sequence (exact shapes).
+        rb = min(rb, _round_up(max(m, 1), LANES))
     v_len = _round_up(rb + 1, 8 * LANES)
     if align_mode:
-        # Snapshot slices require the state's last dim to be a full 128
-        # lanes: R = v_len/128 = 128 exactly (square transposes, aligned
-        # HBM slicing). Wasted lanes are masked garbage.
+        # Align path: rb stays fixed so every pair in the bucket shares one
+        # compiled kernel, and the snapshot slices require the state's last
+        # dim to be a full 128 lanes: R = v_len/128 = 128 exactly (square
+        # transposes, aligned HBM slicing). Wasted lanes are masked garbage.
         v_len = 128 * LANES
     num_bands = max(1, -(-m // rb))
     q_last = m - (num_bands - 1) * rb
@@ -372,7 +381,9 @@ def _band_sweep(
     xbands = _pack_band_chars(x, rb, v_len)
     ycodes = np.full((1, Yp), Y_SENTINEL, dtype=np.int32)
     ycodes[0, :n] = np.frombuffer(y.encode("latin-1"), dtype=np.uint8)
-    params = np.array([m, n, pxy, pgap, q_last, 0, 0, 0], dtype=np.int32)
+    params = np.array(
+        [m, n, pxy, pgap, q_last, num_bands, 0, 0], dtype=np.int32
+    )
 
     score, rows, snaps = _band_sweep_call(
         jnp.asarray(xbands),
