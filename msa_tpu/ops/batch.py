@@ -154,9 +154,12 @@ def align_pairs_batched(
 
     num = len(pairs)
     p_pad = max(p_bucket, -(-num // p_bucket) * p_bucket)
+    # Pad the batch with the cheapest pair, not pairs[0] (which for sorted
+    # workloads is often the most expensive one).
+    pad_pair = min(pairs, key=lambda ij: len(genes[ij[0]]) * len(genes[ij[1]]))
     rows = np.zeros((p_pad, 24), dtype=np.int32)
     for idx in range(p_pad):
-        i, j = pairs[idx] if idx < num else pairs[0]
+        i, j = pairs[idx] if idx < num else pad_pair
         m, n = len(genes[i]), len(genes[j])
         real_nb = max(1, -(-m // rb))
         q_last = m - (real_nb - 1) * rb

@@ -349,9 +349,9 @@ def _band_geometry(m: int, n: int, rb: int, y_cap: int = 0,
     if align_mode:
         # Align path: rb stays fixed so every pair in the bucket shares one
         # compiled kernel, and the snapshot slices require the state's last
-        # dim to be a full 128 lanes: R = v_len/128 = 128 exactly (square
-        # transposes, aligned HBM slicing). Wasted lanes are masked garbage.
-        v_len = 128 * LANES
+        # dim (R = v_len/128) to be a multiple of 128 for aligned HBM
+        # slicing. Wasted lanes are masked garbage.
+        v_len = _round_up(rb + 1, LANES * LANES)
     num_bands = max(1, -(-m // rb))
     q_last = m - (num_bands - 1) * rb
     # y buffer must cover chunked reads up to num_chunks*128 + 128. With

@@ -321,9 +321,10 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-RB_ALIGN = 16256  # v_len = 16384 -> R = 128: square snapshot transposes
+RB_ALIGN = 32640  # v_len = 32768 -> R = 256 (multiple of 128: aligned
+                  # snapshot slices); bigger bands amortize per-step cost
 Y_CAP = 100352  # spec max sequence length (~100k, docs/Project2B.pdf p.5)
-X_CAP = 100352  # band-grid cap: ceil(X_CAP/RB_ALIGN) = 7 bands compiled
+X_CAP = 100352  # band-grid cap: ceil(X_CAP/RB_ALIGN) = 4 bands compiled
 SMALL_THRESHOLD = 1 << 21  # below this m*n, the jnp full-dirs path wins
 
 

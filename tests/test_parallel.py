@@ -64,3 +64,21 @@ def test_align_kway_sharded_single_process(data_dir):
     result = align_kway_sharded(problem, backend="numpy")
     assert result.penalties == MSEQ1_PENALTIES
     assert result.chain_hash == MSEQ1_HASH
+
+
+def test_wavefront_sharded_scores_8_devices():
+    from msa_tpu.ops.nw_sp import nw_score_wavefront_sharded
+    from msa_tpu.ops.reference import nw_score_numpy
+    from msa_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh()
+    import random
+
+    rng = random.Random(42)
+    for _ in range(4):
+        m, n = rng.randint(3, 120), rng.randint(3, 120)
+        x = "".join(rng.choice("ACGT") for _ in range(m))
+        y = "".join(rng.choice("ACGT") for _ in range(n))
+        got = nw_score_wavefront_sharded(x, y, 3, 2, mesh)
+        want = nw_score_numpy(x, y, 3, 2)
+        assert got == want, (m, n, got, want)
