@@ -123,6 +123,16 @@ def align_kway_sharded(
     genes = problem.genes
     nproc = jax.process_count()
     pidx = jax.process_index()
+
+    if nproc == 1:
+        # Single process: the k-way engine already batches big pairs into
+        # one device call.
+        from msa_tpu.models.kway import KWayAligner
+
+        return KWayAligner(
+            problem.pxy, problem.pgap, backend=backend
+        ).align_all(genes, keep_alignments=keep_alignments)
+
     shards = schedule_for(genes, nproc)
     my_tasks = shards[pidx]
 

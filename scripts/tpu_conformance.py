@@ -2,10 +2,11 @@
 
 The TPU analog of the reference's golden-output methodology (SURVEY.md §4):
 runs each dataset end-to-end on the device backend and compares the SHA-512
-chain hash (and penalties where recorded) against the reference's published
-outputs. Run on a machine with a TPU attached:
+chain hash against the reference's published outputs; datasets without a
+recorded golden are cross-checked against the host oracle. Run on a machine
+with a TPU attached:
 
-    python scripts/tpu_conformance.py [--backend pallas]
+    python scripts/tpu_conformance.py [--backend pallas] [--skip-big]
 """
 
 import argparse
@@ -22,6 +23,51 @@ GOLDENS = {
     "data/mseq-big13-example.txt": "c0befee8737ac74a",
     "data/mseq-big13-example2.txt": "7af9b197a65577f9",
 }
+# No recorded golden output in the reference repo: verify device vs host.
+CROSS_CHECK = [
+    "data/xulin_test.txt",  # pxy=5 pgap=1 (catches hardcoded penalties)
+    "data/xulin_adversarial.dat",  # tiny+huge mixed lengths (load skew)
+]
+
+
+def run_golden(path, prefix, backend):
+    from msa_tpu.models.kway import align_kway
+    from msa_tpu.utils.msaio import parse_file
+
+    problem = parse_file(path)
+    cells = sum(
+        len(problem.genes[i]) * len(problem.genes[j])
+        for i in range(1, problem.k)
+        for j in range(i)
+    )
+    t0 = time.time()
+    result = align_kway(problem, backend=backend)
+    dt = time.time() - t0
+    ok = result.chain_hash.startswith(prefix)
+    print(
+        f"{path}: {'PASS' if ok else 'FAIL'} "
+        f"{dt:.2f}s {cells/dt/1e9:.1f} GCUPS hash={result.chain_hash[:16]}",
+        flush=True,
+    )
+    return ok
+
+
+def run_cross(path, backend):
+    from msa_tpu.models.kway import align_kway
+    from msa_tpu.utils.msaio import parse_file
+
+    problem = parse_file(path)
+    t0 = time.time()
+    dev = align_kway(problem, backend=backend)
+    dt = time.time() - t0
+    host = align_kway(problem, backend="native")
+    ok = dev.chain_hash == host.chain_hash and dev.penalties == host.penalties
+    print(
+        f"{path}: {'PASS' if ok else 'FAIL'} {dt:.2f}s"
+        " (cross-checked vs host oracle)",
+        flush=True,
+    )
+    return ok
 
 
 def main():
@@ -32,30 +78,16 @@ def main():
     )
     args = parser.parse_args()
 
-    from msa_tpu.models.kway import align_kway
-    from msa_tpu.utils.msaio import parse_file
-
     failures = 0
     for path, prefix in GOLDENS.items():
         if args.skip_big and "big13" in path:
             continue
-        problem = parse_file(path)
-        cells = sum(
-            len(problem.genes[i]) * len(problem.genes[j])
-            for i in range(1, problem.k)
-            for j in range(i)
-        )
-        t0 = time.time()
-        result = align_kway(problem, backend=args.backend)
-        dt = time.time() - t0
-        ok = result.chain_hash.startswith(prefix)
-        failures += 0 if ok else 1
-        print(
-            f"{path}: {'PASS' if ok else 'FAIL'} "
-            f"{dt:.2f}s {cells/dt/1e9:.1f} GCUPS "
-            f"hash={result.chain_hash[:16]}",
-            flush=True,
-        )
+        failures += 0 if run_golden(path, prefix, args.backend) else 1
+    for path in CROSS_CHECK:
+        if args.skip_big and "adversarial" in path:
+            continue
+        failures += 0 if run_cross(path, args.backend) else 1
+    print("ALL PASS" if not failures else f"{failures} FAILURES", flush=True)
     return 1 if failures else 0
 
 
