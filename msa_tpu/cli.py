@@ -33,6 +33,12 @@ def main(argv=None) -> int:
         action="store_true",
         help="use the batched device engine (buckets pairs, shards over mesh)",
     )
+    parser.add_argument(
+        "--checkpoint",
+        default=None,
+        metavar="PATH",
+        help="journal completed pairs to PATH and resume from it on restart",
+    )
     args = parser.parse_args(argv)
 
     from msa_tpu.utils import jaxenv  # noqa: F401  (compile-cache setup)
@@ -51,7 +57,9 @@ def main(argv=None) -> int:
     else:
         from msa_tpu.models.kway import align_kway
 
-        result = align_kway(problem, backend=args.backend)
+        result = align_kway(
+            problem, backend=args.backend, checkpoint=args.checkpoint
+        )
     elapsed = time.time_ns() // 1000 - start
 
     sys.stdout.write(

@@ -37,12 +37,29 @@ class KWayAligner:
         self.pairwise = PairwiseAligner(pxy, pgap, backend=backend)
 
     def align_all(
-        self, genes: Sequence[str], keep_alignments: bool = False
+        self,
+        genes: Sequence[str],
+        keep_alignments: bool = False,
+        checkpoint: Optional[str] = None,
     ) -> KWayResult:
         tasks = pair_task_list(len(genes))
         results: List[Optional[PairResult]] = [None] * len(tasks)
 
-        batched = self._batched_tasks(genes, tasks)
+        journal = None
+        if checkpoint:
+            from msa_tpu.utils.checkpoint import PairJournal, problem_key
+
+            journal = PairJournal(
+                checkpoint,
+                problem_key(self.pairwise.pxy, self.pairwise.pgap, genes),
+            )
+            for task_id, (penalty, h) in journal.load().items():
+                if 0 <= task_id < len(tasks):
+                    t = tasks[task_id]
+                    results[task_id] = PairResult(task_id, penalty, "", "", h)
+
+        remaining = [t for t in tasks if results[t.task_id] is None]
+        batched = self._batched_tasks(genes, remaining)
         if batched:
             from msa_tpu.ops.batch import align_pairs_batched
             from msa_tpu.utils.hashing import pair_hash
@@ -57,12 +74,19 @@ class KWayAligner:
                 results[t.task_id] = PairResult(
                     t.task_id, penalty, a1, a2, pair_hash(a1, a2)
                 )
+                if journal is not None:
+                    journal.record(t.task_id, penalty, results[t.task_id].problem_hash)
 
         for t in tasks:
             if results[t.task_id] is None:
                 results[t.task_id] = self.pairwise.do_task(
                     t.task_id, genes[t.i], genes[t.j]
                 )
+                if journal is not None:
+                    r = results[t.task_id]
+                    journal.record(t.task_id, r.penalty, r.problem_hash)
+        if journal is not None:
+            journal.close()
         penalties = [r.penalty for r in results]
         chain = chain_hashes(r.problem_hash for r in results)
         return KWayResult(
@@ -96,8 +120,15 @@ class KWayAligner:
 
 
 def align_kway(
-    problem: Problem, backend: str = "auto", keep_alignments: bool = False
+    problem: Problem,
+    backend: str = "auto",
+    keep_alignments: bool = False,
+    checkpoint: Optional[str] = None,
 ) -> KWayResult:
     """One-shot driver: Problem -> (chain hash, penalties)."""
     engine = KWayAligner(problem.pxy, problem.pgap, backend=backend)
-    return engine.align_all(problem.genes, keep_alignments=keep_alignments)
+    return engine.align_all(
+        problem.genes,
+        keep_alignments=keep_alignments,
+        checkpoint=checkpoint,
+    )

@@ -108,11 +108,11 @@ def _align_batch_device(gene_table, pair_params, *, p_pad):
             xshift8, ypad8, rev_shift,
             p1=P1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=Y_CAP,
         )
-        moves = _walk_call(
+        moves, meta = _walk_call(
             snaps_flat, rows_all, xs32, yfw, yrev, params_walk,
             num_bands=num_bands, s_max=s_max, rb=rb, v_len=v_len,
         )
-        compact, total = _compact_moves(moves, l_max=l_max)
+        compact, total = _compact_moves(moves, meta, l_max=l_max)
         # 2-bit pack: moves are 0..3; padding beyond total is 0.
         c = compact.astype(jnp.uint8).reshape(-1, 4)
         packed = c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)

@@ -67,7 +67,7 @@ def _walk_call(
 
     def kernel(
         params_ref, snaps_ref, rows_ref, xs_ref, yfw_ref, yrev_ref,
-        moves_ref,
+        moves_ref, meta_ref,
         st, seeds, xw, yd0, yseg, tseg, dirs, sem,
     ):
         g = pl.program_id(0)
@@ -105,17 +105,10 @@ def _walk_call(
             & (dl_cur > dl0)
         )
 
-        # Per-segment metadata lives in row 1 of the moves block:
-        # lane 0 = move count, lane 1 = end i, lane 2 = end j.
-        def put_counts(cnt, iv, jv):
-            cvec = jnp.where(
-                flat_k == 0,
-                cnt,
-                jnp.where(flat_k == 1, iv, jnp.where(flat_k == 2, jv, 0)),
-            )
-            moves_ref[0, 1:2, 0:LANES] = cvec
-
-        put_counts(0, i_cur, j_cur)
+        # Per-segment metadata (SMEM scalars): move count, end i, end j.
+        meta_ref[0, 0, 0] = 0
+        meta_ref[0, 0, 1] = i_cur
+        meta_ref[0, 0, 2] = j_cur
 
         @pl.when(active)
         def _():
@@ -232,59 +225,39 @@ def _walk_call(
             )
 
             # --- walk the segment ---
+            # The per-move critical path is kept scalar-light: the dirs row
+            # is read through a 128-lane window whose (lane-aligned) base
+            # follows q — q = i - i0 is non-increasing, so the window only
+            # slides down — and the extracted move goes straight to an SMEM
+            # scalar store (no vector-register accumulation or flushes).
             def w_cond(stt):
-                i, j, cnt, mreg = stt
+                i, j, cnt = stt
                 q = i - i0
                 return (q >= 1) & (i > 0) & (j > 0) & (q + j > dl0)
 
             def w_body(stt):
-                i, j, cnt, mreg = stt
+                i, j, cnt = stt
                 q = i - i0
                 dl = q + j
                 drow = dirs[pl.ds(dl - dl0 - 1, 1), :]
                 mv = jnp.max(jnp.where(flat_w == q - w0, drow, -1))
-                step_i = jnp.where(mv <= 1, 1, jnp.where(mv == 2, 1, 0))
-                step_j = jnp.where(mv <= 1, 1, jnp.where(mv == 3, 1, 0))
-                mreg = jnp.where(flat_k == cnt % LANES, mv, mreg)
-                cnt = cnt + 1
+                moves_ref[0, 0, cnt] = mv
+                step_i = jnp.where(mv <= 2, 1, 0)
+                step_j = jnp.where(mv == 2, 0, 1)
+                return (i - step_i, j - step_j, cnt + 1)
 
-                @pl.when(cnt % LANES == 0)
-                def _():
-                    moves_ref[
-                        0,
-                        0:1,
-                        pl.ds(
-                            pl.multiple_of(
-                                (cnt // LANES - 1) * LANES, LANES
-                            ),
-                            LANES,
-                        ),
-                    ] = mreg
-
-                return (i - step_i, j - step_j, cnt, mreg)
-
-            i_f, j_f, cnt_f, mreg_f = jax.lax.while_loop(
-                w_cond, w_body,
-                (i_cur, j_cur, 0, jnp.zeros((1, LANES), jnp.int32)),
+            i_f, j_f, cnt_f = jax.lax.while_loop(
+                w_cond, w_body, (i_cur, j_cur, 0)
             )
 
-            @pl.when(cnt_f % LANES != 0)
-            def _():
-                moves_ref[
-                    0,
-                    0:1,
-                    pl.ds(
-                        pl.multiple_of((cnt_f // LANES) * LANES, LANES),
-                        LANES,
-                    ),
-                ] = mreg_f
-
-            put_counts(cnt_f, i_f, j_f)
+            meta_ref[0, 0, 0] = cnt_f
+            meta_ref[0, 0, 1] = i_f
+            meta_ref[0, 0, 2] = j_f
             st[0] = i_f
             st[1] = j_f
             st[2] = jnp.where((i_f == 0) | (j_f == 0), 1, 0)
 
-    moves = pl.pallas_call(
+    moves, meta = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
@@ -295,12 +268,20 @@ def _walk_call(
             pl.BlockSpec(memory_space=pltpu.ANY),  # yfw
             pl.BlockSpec(memory_space=pltpu.ANY),  # yrev
         ],
-        out_specs=pl.BlockSpec(
-            (1, 8, K), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            # Moves land in SMEM: the walk emits one scalar per move, so a
+            # scalar store beats vector-register staging + 128-lane flushes.
+            pl.BlockSpec(
+                (1, 1, K), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+            ),
         ),
-        # (G, 8, K): the (8, K) trailing dims satisfy the TPU block tiling
-        # rule; row 0 = moves, row 1 = (count, end_i, end_j) metadata.
-        out_shape=jax.ShapeDtypeStruct((G, 8, K), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, 1, K), jnp.int32),
+            jax.ShapeDtypeStruct((G, 1, 8), jnp.int32),  # (count, end i/j)
+        ),
         scratch_shapes=[
             pltpu.SMEM((8,), jnp.int32),  # walk state across grid steps
             pltpu.VMEM((3, 1, W), jnp.int32),  # seeds
@@ -314,7 +295,7 @@ def _walk_call(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(params, snaps, rows_all, xshift, yfw, yrev)
-    return moves
+    return moves, meta
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -406,7 +387,7 @@ def nw_align_pallas(
         [m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0], dtype=np.int32
     )
 
-    moves = _walk_call(
+    moves, meta = _walk_call(
         snaps_flat,
         rows_all,
         xs32,
@@ -420,7 +401,7 @@ def nw_align_pallas(
         interpret=interpret,
     )
     l_max = _round_up(num_bands * rb + y_cap + 2 * K, LANES)
-    compact, total = _compact_moves(moves, l_max=l_max)
+    compact, total = _compact_moves(moves, meta, l_max=l_max)
     compact_np = np.asarray(compact)
     all_moves = compact_np[: int(total)].tolist()
     a1, a2 = moves_to_alignment(x, y, all_moves)
@@ -448,14 +429,14 @@ def _build_walk_inputs(xshift8, ypad8, rev_shift, *, p1, yfw_len, yrev_len,
 
 
 @functools.partial(jax.jit, static_argnames=("l_max",))
-def _compact_moves(out, *, l_max):
+def _compact_moves(moves, meta, *, l_max):
     """Concatenate per-segment move rows on device -> (l_max,) int8 + total.
 
-    Keeps the bulky (G, 8, K) walk output on device; only the compacted
+    Keeps the bulky (G, K) walk output on device; only the compacted
     byte stream crosses the device->host link.
     """
-    moves = out[:, 0, :]
-    cnts = out[:, 1, 0]
+    moves = moves[:, 0, :]
+    cnts = meta[:, 0, 0]
     offs = jnp.cumsum(cnts) - cnts
     tt = jnp.arange(moves.shape[1], dtype=jnp.int32)[None, :]
     mask = tt < cnts[:, None]

@@ -49,5 +49,34 @@ def lpt_schedule(
     return shards
 
 
-def schedule_for(genes: Sequence[str], num_shards: int) -> List[List[PairTask]]:
-    return lpt_schedule(pair_costs(genes), num_shards)
+def block_schedule(
+    tasks: Sequence[PairTask], num_shards: int
+) -> List[List[PairTask]]:
+    """The reference's first strategy (S1): contiguous task-id blocks.
+
+    ``parallel1.cpp:185-201``: ``tasks_per_process = floor(total/size)``,
+    shard r takes ids ``[tpp*r, tpp*(r+1))`` and the last shard also takes
+    the remainder. Kept for parity/benchmark comparison — LPT dominates it
+    on skewed workloads (the reference measured this too, §6 of SURVEY.md).
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    total = len(tasks)
+    tpp = total // num_shards
+    shards: List[List[PairTask]] = []
+    for r in range(num_shards):
+        lo = tpp * r
+        hi = tpp * (r + 1) if r < num_shards - 1 else total
+        shards.append(list(tasks[lo:hi]))
+    return shards
+
+
+def schedule_for(
+    genes: Sequence[str], num_shards: int, policy: str = "lpt"
+) -> List[List[PairTask]]:
+    """Deterministic pair schedule; policy = "lpt" (default) or "block"."""
+    if policy == "lpt":
+        return lpt_schedule(pair_costs(genes), num_shards)
+    if policy == "block":
+        return block_schedule(pair_task_list(len(genes)), num_shards)
+    raise ValueError(f"unknown schedule policy {policy!r}")

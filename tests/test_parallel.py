@@ -82,3 +82,24 @@ def test_wavefront_sharded_scores_8_devices():
         got = nw_score_wavefront_sharded(x, y, 3, 2, mesh)
         want = nw_score_numpy(x, y, 3, 2)
         assert got == want, (m, n, got, want)
+
+
+def test_block_schedule_matches_reference_layout():
+    # parallel1.cpp:185-201 semantics: floor split, remainder on the tail.
+    from msa_tpu.parallel.schedule import block_schedule
+    from msa_tpu.utils.tasks import pair_task_list
+
+    tasks = pair_task_list(6)  # 15 pairs
+    shards = block_schedule(tasks, 4)  # tpp = 3
+    assert [len(s) for s in shards] == [3, 3, 3, 6]
+    ids = [t.task_id for s in shards for t in s]
+    assert ids == list(range(15))
+
+
+def test_schedule_policy_dispatch():
+    genes = ["ACGT" * (i + 1) for i in range(5)]
+    lpt = schedule_for(genes, 3, policy="lpt")
+    blk = schedule_for(genes, 3, policy="block")
+    all_lpt = sorted(t.task_id for s in lpt for t in s)
+    all_blk = sorted(t.task_id for s in blk for t in s)
+    assert all_lpt == all_blk == list(range(10))
