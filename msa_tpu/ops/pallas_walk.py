@@ -34,7 +34,13 @@ from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
 LANES = 128
 K = 512  # snapshot stride (diagonal steps per segment)
 KC = K // LANES
-W_MAX = 2 * K + 640  # recompute window width in lanes (multiple of 128)
+# Recompute window width in lanes (multiple of 128). The walk enters a
+# segment at lane q_e and can descend at most K lanes in K diagonal steps;
+# contamination climbs from the window base at one lane per step, so cell
+# (t, q) is exact iff q >= w0 + t. With w0 <= q_e - K - safety the deepest
+# path cell (q_e - K + t at step t... >= q_e - K) stays >= w0 + t for every
+# t, so W = K + safety + alignment slack covers the path exactly.
+W_MAX = K + 640
 NEG_FILL = 2**30
 
 
@@ -113,7 +119,7 @@ def _walk_call(
         @pl.when(active)
         def _():
             w0 = jnp.clip(
-                ((q_cur - 2 * K - 384) // LANES) * LANES, 0, v_len - W
+                ((q_cur - K - 384) // LANES) * LANES, 0, v_len - W
             )
 
             # --- DMA seeds and feeds ---
@@ -303,7 +309,11 @@ def _round_up(x: int, mult: int) -> int:
 
 
 RB_ALIGN = 32640  # v_len = 32768 -> R = 256 (multiple of 128: aligned
-                  # snapshot slices); bigger bands amortize per-step cost
+                  # snapshot slices). Band-ramp padding costs m*rb extra
+                  # cells per pair, so smaller bands make the *fill* faster —
+                  # but they grow the walk grid (bands x segments) and its
+                  # per-segment overhead faster: rb=16256 measured 39.7 GCUPS
+                  # e2e vs 43.4 at rb=32640 on big13. Walk cost rules here.
 Y_CAP = 100352  # spec max sequence length (~100k, docs/Project2B.pdf p.5)
 X_CAP = 100352  # band-grid cap: ceil(X_CAP/RB_ALIGN) = 4 bands compiled
 SMALL_THRESHOLD = 1 << 21  # below this m*n, the jnp full-dirs path wins
