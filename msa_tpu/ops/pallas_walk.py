@@ -74,7 +74,7 @@ def _walk_call(
     def kernel(
         params_ref, snaps_ref, rows_ref, xs_ref, yfw_ref, yrev_ref,
         moves_ref, meta_ref,
-        st, seeds, xw, yd0, yseg, tseg, dirs, sem,
+        st, seeds, xw, yd0, yseg, tseg, pdirs, sdirs, sem,
     ):
         g = pl.program_id(0)
         m = params_ref[0]
@@ -155,7 +155,11 @@ def _walk_call(
             w0_is_0 = w0 == 0
             top_inject_mask = lane0_w & w0_is_0
 
-            # --- recompute K steps, windowed ---
+            # --- recompute K steps, windowed; dirs packed 2-bit along t ---
+            # Moves are 2 bits, and packing them along the *step* axis is
+            # pure elementwise work (shift-or into an accumulator flushed
+            # every 16 steps) — no cross-lane compaction. The packed block
+            # then DMAs to SMEM so the walk below is scalar loads only.
             def chunk_body(c, carry):
                 prev1, prev1s, prev2s, ydv = carry
                 cbase = pl.multiple_of(c * LANES, LANES)
@@ -166,7 +170,7 @@ def _walk_call(
                 # not; pad by static slice into a (1, W) zero canvas)
 
                 def step(si, icarry):
-                    prev1, prev1s, prev2s, ydv, ywin, twin = icarry
+                    prev1, prev1s, prev2s, ydv, ywin, twin, acc = icarry
                     t = cbase + si + 1
                     dl = dl0 + t
 
@@ -202,21 +206,31 @@ def _walk_call(
                             jnp.where(prev1s + pgap == cur, 2, 3),
                         ),
                     )
-                    dirs[pl.ds(t - 1, 1), :] = dirs_v
+                    # Pack step t-1 at bits 2*((t-1)%16); multiply by a
+                    # scalar power of two (vector<<scalar is the same op).
+                    sub16 = (t - 1) % 16
+                    acc = acc | dirs_v * (1 << (2 * sub16))
+
+                    @pl.when(sub16 == 15)
+                    def _():
+                        pdirs[pl.ds((t - 1) // 16, 1), :] = acc
+
+                    acc = jnp.where(sub16 == 15, 0, acc)
 
                     ywin = pltpu.roll(ywin, shift=LANES - 1, axis=1)
                     twin = pltpu.roll(twin, shift=LANES - 1, axis=1)
                     prev1s_new = jnp.where(
                         lane0_w, NEG_FILL, pltpu.roll(cur, shift=1, axis=1)
                     )
-                    return (cur, prev1s_new, prev1s, ydv, ywin, twin)
+                    return (cur, prev1s_new, prev1s, ydv, ywin, twin, acc)
 
                 # Rolled loop (unroll=1): the walk kernel is latency-bound
                 # on tiny (1, W) vectors, and a full unroll here multiplies
                 # compile time ~30x for no measurable runtime win.
-                prev1, prev1s, prev2s, ydv, _, _ = jax.lax.fori_loop(
+                acc0 = jnp.zeros((1, W), jnp.int32)
+                prev1, prev1s, prev2s, ydv, _, _, _ = jax.lax.fori_loop(
                     0, LANES, step,
-                    (prev1, prev1s, prev2s, ydv, ywin, twin),
+                    (prev1, prev1s, prev2s, ydv, ywin, twin, acc0),
                 )
                 return (prev1, prev1s, prev2s, ydv)
 
@@ -230,12 +244,14 @@ def _walk_call(
                 ),
             )
 
+            cp_d = pltpu.make_async_copy(pdirs, sdirs, sem.at[7])
+            cp_d.start()
+            cp_d.wait()
+
             # --- walk the segment ---
-            # The per-move critical path is kept scalar-light: the dirs row
-            # is read through a 128-lane window whose (lane-aligned) base
-            # follows q — q = i - i0 is non-increasing, so the window only
-            # slides down — and the extracted move goes straight to an SMEM
-            # scalar store (no vector-register accumulation or flushes).
+            # With the packed dirs in SMEM, each move is a scalar load plus
+            # a shift/mask — no vector loads, reductions, or vector->scalar
+            # syncs on the serial per-move critical path.
             def w_cond(stt):
                 i, j, cnt = stt
                 q = i - i0
@@ -245,8 +261,9 @@ def _walk_call(
                 i, j, cnt = stt
                 q = i - i0
                 dl = q + j
-                drow = dirs[pl.ds(dl - dl0 - 1, 1), :]
-                mv = jnp.max(jnp.where(flat_w == q - w0, drow, -1))
+                t = dl - dl0 - 1
+                word = sdirs[t // 16, q - w0]
+                mv = (word >> (2 * (t % 16))) & 3
                 moves_ref[0, 0, cnt] = mv
                 step_i = jnp.where(mv <= 2, 1, 0)
                 step_j = jnp.where(mv == 2, 0, 1)
@@ -295,7 +312,8 @@ def _walk_call(
             pltpu.VMEM((1, 1, W), jnp.int32),  # yd init window
             pltpu.VMEM((1, 1, K), jnp.int32),  # y forward feed
             pltpu.VMEM((1, 1, K), jnp.int32),  # top row feed
-            pltpu.VMEM((K, W), jnp.int32),  # segment dirs
+            pltpu.VMEM((K // 16, W), jnp.int32),  # packed segment dirs
+            pltpu.SMEM((K // 16, W), jnp.int32),  # packed dirs, walk copy
             pltpu.SemaphoreType.DMA((8,)),
         ],
         interpret=interpret,
