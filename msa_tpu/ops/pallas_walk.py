@@ -5,12 +5,13 @@ matrix (``seqalign-mpi-skeleton.cpp:236-262``) — up to 30 GB for 100k-scale
 pairs, which no TPU HBM layout should replicate. Here the fill kernel
 (``pallas_nw``) snapshots its diagonal wavefront state every ``K`` steps;
 this module's walk kernel then re-derives, for each K-step *segment* along
-the traceback path, a narrow windowed band of the DP (width ``W`` lanes
-centred below the walk position — forward recompute contaminates lanes
-upward from the window base at one lane per step, so a 2K window plus margin
-keeps every cell the walk touches exact), stores the segment's move matrix in
-VMEM, and walks it in-kernel, emitting the reference's exact tie-break moves
-(match -> diag -> up -> left).
+the traceback path, a narrow windowed band of the DP (width ``W = K + 384``
+lanes below the walk position — forward recompute contaminates lanes upward
+from the window base at one lane per step, and the path descends at most one
+lane per step, so the window stays exact on every cell the walk touches),
+packs the segment's move matrix 2 bits per cell along the step axis, DMAs it
+to SMEM, and walks it in-kernel with scalar loads only, emitting the
+reference's exact tie-break moves (match -> diag -> up -> left).
 
 One launch per pair covers all bands: the grid iterates (band, segment) in
 descending diagonal order; the walk position is carried across grid steps in
@@ -39,8 +40,10 @@ KC = K // LANES
 # contamination climbs from the window base at one lane per step, so cell
 # (t, q) is exact iff q >= w0 + t. With w0 <= q_e - K - safety the deepest
 # path cell (q_e - K + t at step t... >= q_e - K) stays >= w0 + t for every
-# t, so W = K + safety + alignment slack covers the path exactly.
-W_MAX = K + 640
+# t, so W = K + safety + alignment slack covers the path exactly: the walk
+# visits lanes [q_e - K, q_e]; with w0 = align128(q_e - K - 128) the top
+# lane q_e sits at most K + 255 above w0 < W = K + 384.
+W_MAX = K + 384
 NEG_FILL = 2**30
 
 
@@ -119,7 +122,7 @@ def _walk_call(
         @pl.when(active)
         def _():
             w0 = jnp.clip(
-                ((q_cur - K - 384) // LANES) * LANES, 0, v_len - W
+                ((q_cur - K - 128) // LANES) * LANES, 0, v_len - W
             )
 
             # --- DMA seeds and feeds ---
