@@ -5,9 +5,16 @@ own messages (``submit/xuliny-seqalkway.cpp:305-331``). Here all big pairs
 share one compiled program (band grid sized for the length cap, inactive
 bands runtime-skipped), so the entire workload runs as a single jit call:
 the gene table is uploaded once as int8 codes, a ``lax.scan`` walks the pair
-list on device (fill -> snapshot -> walk -> compact per pair), and the
-traceback moves come back as one 2-bit-packed byte stream. Host<->device
-traffic is O(sum of sequence lengths), not O(pairs x buffers).
+list on device, and the traceback moves come back as one 2-bit-packed byte
+stream. Host<->device traffic is O(sum of sequence lengths), not
+O(pairs x buffers).
+
+Pairs are processed in groups of ``P_GROUP``: each group runs P fills
+back-to-back (the fill saturates the VPU on its own), then ONE walk launch
+that traces all P pairs concurrently in the sublane dimension — the walk is
+a latency-bound chain of small-vector ops, so P pairs cost barely more than
+one (see ``pallas_walk``). Groups are formed from pairs sorted by m+n so
+walks in a group finish together.
 """
 
 from __future__ import annotations
@@ -20,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
-from msa_tpu.ops import pallas_walk as pwalk
 from msa_tpu.ops.pallas_nw import (
     SNAP_K,
     _band_geometry,
@@ -34,11 +40,14 @@ from msa_tpu.ops.pallas_walk import (
     X_CAP,
     Y_CAP,
     _build_walk_inputs,
-    _compact_moves,
+    _compact_moves_group,
     _round_up,
     _walk_call,
+    walk_slot_budget,
 )
 from msa_tpu.utils.alignment import moves_to_alignment
+
+P_GROUP = 8  # pairs per walk launch = the VPU sublane count
 
 
 def _static_geometry():
@@ -56,23 +65,24 @@ def _static_geometry():
     return rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len, l_max
 
 
-@functools.partial(jax.jit, static_argnames=("p_pad",))
-def _align_batch_device(gene_table, pair_params, *, p_pad):
-    """scan over pairs: fill + walk + compact, all on device.
+@functools.partial(jax.jit, static_argnames=("n_groups",))
+def _align_batch_device(gene_table, pair_params, *, n_groups):
+    """scan over groups: P fills, then one P-wide walk, all on device.
 
     gene_table: (k, Xp) int8, row g = gene codes in shifted layout
                 (table[g, t] = code(gene[t-1]), sentinel elsewhere).
-    pair_params: (p_pad, 24) int32 rows:
+    pair_params: (n_groups, P_GROUP, 24) int32 rows:
         [0:8]  fill params  (m, n, pxy, pgap, q_last, real_nb, 0, 0)
         [8:16] walk params  (m, n, pxy, pgap, yoff, p1, 0, 0)
         [16]   x gene index, [17] y gene index, [18] rev_shift
     """
     (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len,
      l_max) = _static_geometry()
+    S3 = num_bands * s_max * 3
+    g8 = walk_slot_budget(X_CAP + Y_CAP, num_bands)
 
-    def one(carry, pp):
+    def fill_one(carry, pp):
         params_fill = pp[0:8]
-        params_walk = pp[8:16]
         xi = pp[16]
         yi = pp[17]
         rev_shift = pp[18]
@@ -102,24 +112,49 @@ def _align_batch_device(gene_table, pair_params, *, p_pad):
         rows_all = jnp.concatenate(
             [analytic, rows[: num_bands - 1, 0, :]], axis=0
         ).reshape(num_bands, 1, Yp)
-        snaps_flat = snaps.reshape(num_bands * s_max * 3, 1, v_len)
+        snaps_flat = snaps.reshape(S3, 1, v_len)
 
         xs32, yfw, yrev = _build_walk_inputs(
             xshift8, ypad8, rev_shift,
             p1=P1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=Y_CAP,
         )
-        moves, meta = _walk_call(
-            snaps_flat, rows_all, xs32, yfw, yrev, params_walk,
-            num_bands=num_bands, s_max=s_max, rb=rb, v_len=v_len,
+        return carry, (
+            score[0, 0], rows_all, snaps_flat,
+            xs32[0], yfw[0], yrev[0], pp[8:16],
         )
-        compact, total = _compact_moves(moves, meta, l_max=l_max)
-        # 2-bit pack: moves are 0..3; padding beyond total is 0.
-        c = compact.astype(jnp.uint8).reshape(-1, 4)
-        packed = c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
-        return carry, (score[0, 0], packed, total)
 
-    _, (scores, packed, totals) = jax.lax.scan(one, None, pair_params)
-    return scores, packed, totals
+    def group_body(carry, gpp):
+        _, (scores, rows_s, snaps_s, xs_s, yfw_s, yrev_s, wparams) = (
+            jax.lax.scan(fill_one, None, gpp)
+        )
+        moves, meta = _walk_call(
+            snaps_s.reshape(P_GROUP * S3, 1, v_len),
+            rows_s.reshape(P_GROUP * num_bands, 1, Yp),
+            xs_s,
+            yfw_s,
+            yrev_s,
+            wparams,
+            p_group=P_GROUP,
+            g8=g8,
+            num_bands=num_bands,
+            s_max=s_max,
+            rb=rb,
+            v_len=v_len,
+        )
+        compact, totals = _compact_moves_group(moves, meta, l_max=l_max)
+        # 2-bit pack: moves are 0..3; padding beyond each total is 0.
+        c = compact.astype(jnp.uint8).reshape(P_GROUP, -1, 4)
+        packed = c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (
+            c[:, :, 3] << 6
+        )
+        return carry, (scores, packed, totals)
+
+    _, (scores, packed, totals) = jax.lax.scan(group_body, None, pair_params)
+    return (
+        scores.reshape(-1),
+        packed.reshape(n_groups * P_GROUP, -1),
+        totals.reshape(-1),
+    )
 
 
 def align_pairs_batched(
@@ -127,12 +162,12 @@ def align_pairs_batched(
     pairs: Sequence[Tuple[int, int]],  # (i, j) gene indices per pair
     pxy: int,
     pgap: int,
-    p_bucket: int = 16,
 ) -> List[Tuple[int, str, str]]:
     """Align many (big) pairs in one device call; returns per-pair results.
 
-    Every sequence must fit the cap (X_CAP). Pairs are padded to a multiple
-    of ``p_bucket`` with dummy work to bound recompilation.
+    Every sequence must fit the cap (X_CAP). Pairs are sorted by descending
+    m+n (walk length), grouped P_GROUP at a time, and the group count padded
+    with the cheapest pair; results return in the caller's order.
     """
     (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len,
      l_max) = _static_geometry()
@@ -153,34 +188,44 @@ def align_pairs_batched(
         table[g, 1 + len(seq) :] = Y_SENTINEL
 
     num = len(pairs)
-    p_pad = max(p_bucket, -(-num // p_bucket) * p_bucket)
+    # Sort by walk length so the pairs sharing a walk launch finish their
+    # walks together (a group's slot count is its slowest member's).
+    order = sorted(
+        range(num),
+        key=lambda idx: -(len(genes[pairs[idx][0]]) + len(genes[pairs[idx][1]])),
+    )
+    p_pad = -(-num // P_GROUP) * P_GROUP
     # Pad the batch with the cheapest pair, not pairs[0] (which for sorted
     # workloads is often the most expensive one).
     pad_pair = min(pairs, key=lambda ij: len(genes[ij[0]]) * len(genes[ij[1]]))
     rows = np.zeros((p_pad, 24), dtype=np.int32)
-    for idx in range(p_pad):
-        i, j = pairs[idx] if idx < num else pad_pair
+    for slot in range(p_pad):
+        i, j = pairs[order[slot]] if slot < num else pad_pair
         m, n = len(genes[i]), len(genes[j])
         real_nb = max(1, -(-m // rb))
         q_last = m - (real_nb - 1) * rb
         P0 = (-n) % LANES
-        rows[idx, 0:8] = [m, n, pxy, pgap, q_last, real_nb, 0, 0]
-        rows[idx, 8:16] = [m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0]
-        rows[idx, 16] = i
-        rows[idx, 17] = j
-        rows[idx, 18] = P1 + P0 + n - Y_CAP
+        rows[slot, 0:8] = [m, n, pxy, pgap, q_last, real_nb, 0, 0]
+        rows[slot, 8:16] = [m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0]
+        rows[slot, 16] = i
+        rows[slot, 17] = j
+        rows[slot, 18] = P1 + P0 + n - Y_CAP
 
+    n_groups = p_pad // P_GROUP
     scores, packed, totals = _align_batch_device(
-        jnp.asarray(table), jnp.asarray(rows), p_pad=p_pad
+        jnp.asarray(table),
+        jnp.asarray(rows).reshape(n_groups, P_GROUP, 24),
+        n_groups=n_groups,
     )
     scores = np.asarray(scores)
     packed = np.asarray(packed)
     totals = np.asarray(totals)
 
-    out: List[Tuple[int, str, str]] = []
-    for idx in range(num):
-        total = int(totals[idx])
-        b = packed[idx, : -(-total // 4) if total else 0]
+    out: List[Tuple[int, str, str]] = [None] * num  # type: ignore[list-item]
+    for slot in range(num):
+        idx = order[slot]
+        total = int(totals[slot])
+        b = packed[slot, : -(-total // 4) if total else 0]
         moves = np.empty(4 * len(b), dtype=np.int8)
         moves[0::4] = b & 3
         moves[1::4] = (b >> 2) & 3
@@ -190,5 +235,5 @@ def align_pairs_batched(
         a1, a2 = moves_to_alignment(
             genes[i], genes[j], moves[:total]
         )
-        out.append((int(scores[idx]), a1, a2))
+        out[idx] = (int(scores[slot]), a1, a2)
     return out

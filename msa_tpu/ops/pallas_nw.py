@@ -138,8 +138,16 @@ def _band_sweep_call(
 
         # dl = 1 .. rb + n, processed in 128-step chunks (over-running the
         # end computes masked garbage that is never read back). Inactive
-        # bands run zero chunks.
-        num_chunks = jnp.where(band_on, (rb + n + LANES - 1) // LANES, 0)
+        # bands run zero chunks; the last band only has q_last real rows,
+        # so its sweep stops at dl = q_last + n (rounded up to a chunk) —
+        # its bottom row and later snapshots are never read.
+        full_chunks = (rb + n + LANES - 1) // LANES
+        last_chunks = (q_last + n + LANES - 1) // LANES
+        num_chunks = jnp.where(
+            band_on,
+            jnp.where(b == real_nb - 1, last_chunks, full_chunks),
+            0,
+        )
         rb_row = rb % R  # lane q == rb lives at [rb % R, rb // R]
         rb_col = rb // R
 

@@ -13,10 +13,15 @@ packs the segment's move matrix 2 bits per cell along the step axis, DMAs it
 to SMEM, and walks it in-kernel with scalar loads only, emitting the
 reference's exact tie-break moves (match -> diag -> up -> left).
 
-One launch per pair covers all bands: the grid iterates (band, segment) in
-descending diagonal order; the walk position is carried across grid steps in
-SMEM scratch (the TPU grid is sequential). Segments the path does not touch
-are predicated off. Memory: O(v_len) per snapshot in HBM, O(K*W) VMEM.
+The walk is batched over ``P`` pairs riding the VPU's *sublane* dimension:
+all recompute state is (P, W), so eight pairs' segments recompute for the
+latency of one (the segment recompute is a serial chain of small-vector ops
+— width is nearly free, steps are not). Each grid slot advances every live
+pair by one segment: the slot's (band, segment, window) coordinates are
+derived per pair from its current walk position carried in SMEM scratch (the
+TPU grid is sequential), so there are no predicated-off slots at all —
+unlike a (band, segment)-indexed grid, which burns a slot per segment the
+path never touches. Memory: O(v_len) per snapshot in HBM, O(K*W*P) VMEM.
 """
 
 from __future__ import annotations
@@ -47,116 +52,197 @@ W_MAX = K + 384
 NEG_FILL = 2**30
 
 
-def _shift_insert_1d(v, elem_vec, lane0_mask):
-    """(1, W) flat shift by one lane, inserting elem_vec's lane 0 at lane 0."""
-    rolled = pltpu.roll(v, shift=1, axis=1)
-    return jnp.where(lane0_mask, elem_vec, rolled)
-
-
 @functools.partial(
     jax.jit,
-    static_argnames=("num_bands", "s_max", "rb", "v_len", "interpret"),
+    static_argnames=(
+        "p_group", "g8", "num_bands", "s_max", "rb", "v_len", "interpret",
+    ),
 )
 def _walk_call(
-    snaps: jnp.ndarray,  # (num_bands*s_max*3, 1, v_len) int32 flat snapshots
-    rows_all: jnp.ndarray,  # (num_bands, 1, Yp) int32; [b] = dp[b*rb][j] @ j-1
-    xshift: jnp.ndarray,  # (1, Xp) int32; xshift[t] = x[t-1]
-    yfw: jnp.ndarray,  # (1, P1 + Ypad) int32; yfw[P1 + t] = y[t]
-    yrev: jnp.ndarray,  # (1, *) int32; yrev[P1 + P0 + n - 1 - t] = y[t]
-    params: jnp.ndarray,  # (8,) int32: m, n, pxy, pgap, yoff, p1, 0, 0
+    snaps: jnp.ndarray,  # (P*S3, 1, v_len) int32 flat snapshots, S3=nb*s_max*3
+    rows_all: jnp.ndarray,  # (P*nb, 1, Yp) int32; [p*nb+b] = dp[b*rb][j] @ j-1
+    xshift: jnp.ndarray,  # (P, 1, Xp) int32; [p, 0, t] = x_p[t-1]
+    yfw: jnp.ndarray,  # (P, 1, yfw_len) int32; [p, 0, p1 + t] = y_p[t]
+    yrev: jnp.ndarray,  # (P, 1, *) int32; [p, 0, p1 + P0 + n - 1 - t] = y_p[t]
+    params: jnp.ndarray,  # (P, 8) int32: m, n, pxy, pgap, yoff, p1, 0, 0
     *,
+    p_group: int,
+    g8: int,  # static slot count; slots after all walks finish are skipped
     num_bands: int,
     s_max: int,
     rb: int,
     v_len: int,
     interpret: bool = False,
 ):
-    G = num_bands * s_max
+    P = p_group
+    S3 = num_bands * s_max * 3
     W = min(W_MAX, v_len)  # whole state fits -> window is exact (w0 = 0)
+    KC16 = K // 16  # packed dirs rows per pair
 
     def kernel(
         params_ref, snaps_ref, rows_ref, xs_ref, yfw_ref, yrev_ref,
         moves_ref, meta_ref,
-        st, seeds, xw, yd0, yseg, tseg, pdirs, sdirs, sem,
+        st, seeds, xw, yd0, yseg, tseg, pdirs, sdirs, sem, sem_d,
     ):
         g = pl.program_id(0)
-        m = params_ref[0]
-        n = params_ref[1]
-        pxy = params_ref[2]
-        pgap = params_ref[3]
-        yoff = params_ref[4]  # P1 + P0 + n
-        p1 = params_ref[5]  # static lead pad of yfw
+        # pxy/pgap are shared by every pair in a workload (they ride the
+        # input header, submit/xuliny-seqalkway.cpp:44-46).
+        pxy = params_ref[0, 2]
+        pgap = params_ref[0, 3]
 
-        b = num_bands - 1 - g // s_max
-        s = (s_max - 1) - g % s_max
-        dl0 = s * K
-        i0 = b * rb
-
-        lane0_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) == 0
-        flat_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-        flat_k = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lane0_w = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1) == 0
+        flat_w = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
 
         @pl.when(g == 0)
         def _():
-            st[0] = m
-            st[1] = n
-            st[2] = 0  # done flag
+            for p in range(P):
+                m = params_ref[p, 0]
+                n = params_ref[p, 1]
+                st[3 * p + 0] = m
+                st[3 * p + 1] = n
+                st[3 * p + 2] = jnp.where((m == 0) | (n == 0), 1, 0)
 
-        i_cur = st[0]
-        j_cur = st[1]
-        done = st[2]
-        q_cur = i_cur - i0
-        dl_cur = q_cur + j_cur
-        active = (
-            (done == 0)
-            & (q_cur >= 1)
-            & (q_cur <= rb)
-            & (dl_cur > dl0)
-        )
-
-        # Per-segment metadata (SMEM scalars): move count, end i, end j.
-        meta_ref[0, 0, 0] = 0
-        meta_ref[0, 0, 1] = i_cur
-        meta_ref[0, 0, 2] = j_cur
-
-        @pl.when(active)
-        def _():
+        # Per-pair slot coordinates, derived from the carried walk position:
+        # band b = (i-1)//rb, segment s = (dl-1)//K, window base w0.
+        i_cs: List = [None] * P
+        j_cs: List = [None] * P
+        actives: List = [None] * P
+        i0s: List = [None] * P
+        dl0s: List = [None] * P
+        w0s: List = [None] * P
+        sbases: List = [None] * P
+        bands: List = [None] * P
+        for p in range(P):
+            i_c = st[3 * p + 0]
+            j_c = st[3 * p + 1]
+            done = st[3 * p + 2]
+            b = jnp.maximum(i_c - 1, 0) // rb
+            i0 = b * rb
+            q = i_c - i0
+            dl = q + j_c
+            s = jnp.maximum(dl - 1, 0) // K
             w0 = jnp.clip(
-                ((q_cur - K - 128) // LANES) * LANES, 0, v_len - W
+                ((q - K - 128) // LANES) * LANES, 0, v_len - W
             )
+            i_cs[p] = i_c
+            j_cs[p] = j_c
+            actives[p] = done == 0
+            i0s[p] = i0
+            dl0s[p] = s * K
+            w0s[p] = w0
+            bands[p] = b
+            sbases[p] = p * S3 + (b * s_max + s) * 3
+            meta_ref[0, p, 0] = 0
+            meta_ref[0, p, 1] = i_c
+            meta_ref[0, p, 2] = j_c
 
-            # --- DMA seeds and feeds ---
+        any_active = functools.reduce(jnp.logical_or, actives)
+
+        @pl.when(any_active)
+        def _():
+            # --- DMA seeds and feeds, one set per live pair ---
             # All sliced leading dims ride axis 0 (untiled); the trailing
             # (1, len) blocks are full/128-aligned, as Mosaic DMA requires.
-            sbase = (b * s_max + s) * 3
-            cps = [
-                pltpu.make_async_copy(
-                    snaps_ref.at[pl.ds(sbase + r, 1), :, pl.ds(pl.multiple_of(w0, LANES), W)],
-                    seeds.at[pl.ds(r, 1)],
-                    sem.at[r],
-                )
-                for r in range(3)
-            ]
-            cp_x = pltpu.make_async_copy(
-                xs_ref.at[0:1, :, pl.ds(pl.multiple_of(i0 + w0, LANES), W)], xw, sem.at[3]
-            )
-            cp_y0 = pltpu.make_async_copy(
-                yrev_ref.at[0:1, :, pl.ds(pl.multiple_of(yoff - dl0 + w0, LANES), W)], yd0, sem.at[4]
-            )
-            cp_yf = pltpu.make_async_copy(
-                yfw_ref.at[0:1, :, pl.ds(pl.multiple_of(p1 + dl0 - w0, LANES), K)], yseg, sem.at[5]
-            )
-            cp_t = pltpu.make_async_copy(
-                rows_ref.at[pl.ds(b, 1), :, pl.ds(pl.multiple_of(dl0, LANES), K)], tseg, sem.at[6]
-            )
-            for cp in cps + [cp_x, cp_y0, cp_yf, cp_t]:
-                cp.start()
-            for cp in cps + [cp_x, cp_y0, cp_yf, cp_t]:
-                cp.wait()
+            def copies_for(p):
+                yoff = params_ref[p, 4]
+                p1 = params_ref[p, 5]
+                w0 = w0s[p]
+                dl0 = dl0s[p]
+                # Destination slices ride the untiled leading axis only
+                # (sublane-dim slicing is not 8-aligned and Mosaic rejects
+                # it); the (P, W) loop state is assembled from these rows
+                # with broadcast+select below.
+                cps = [
+                    pltpu.make_async_copy(
+                        snaps_ref.at[
+                            pl.ds(sbases[p] + r, 1), :,
+                            pl.ds(pl.multiple_of(w0, LANES), W),
+                        ],
+                        seeds.at[pl.ds(3 * p + r, 1)],
+                        sem.at[p, r],
+                    )
+                    for r in range(3)
+                ]
+                cps.append(pltpu.make_async_copy(
+                    xs_ref.at[
+                        pl.ds(p, 1), :,
+                        pl.ds(pl.multiple_of(i0s[p] + w0, LANES), W),
+                    ],
+                    xw.at[pl.ds(p, 1)],
+                    sem.at[p, 3],
+                ))
+                cps.append(pltpu.make_async_copy(
+                    yrev_ref.at[
+                        pl.ds(p, 1), :,
+                        pl.ds(pl.multiple_of(yoff - dl0 + w0, LANES), W),
+                    ],
+                    yd0.at[pl.ds(p, 1)],
+                    sem.at[p, 4],
+                ))
+                cps.append(pltpu.make_async_copy(
+                    yfw_ref.at[
+                        pl.ds(p, 1), :,
+                        pl.ds(pl.multiple_of(p1 + dl0 - w0, LANES), K),
+                    ],
+                    yseg.at[pl.ds(p, 1)],
+                    sem.at[p, 5],
+                ))
+                cps.append(pltpu.make_async_copy(
+                    rows_ref.at[
+                        pl.ds(p * num_bands + bands[p], 1), :,
+                        pl.ds(pl.multiple_of(dl0, LANES), K),
+                    ],
+                    tseg.at[pl.ds(p, 1)],
+                    sem.at[p, 6],
+                ))
+                return cps
 
-            xv = xw[0, 0:1, :]
-            w0_is_0 = w0 == 0
-            top_inject_mask = lane0_w & w0_is_0
+            for p in range(P):
+                @pl.when(actives[p])
+                def _(p=p):
+                    for cp in copies_for(p):
+                        cp.start()
+            for p in range(P):
+                @pl.when(actives[p])
+                def _(p=p):
+                    for cp in copies_for(p):
+                        cp.wait()
+
+            def assemble(rows_1w, width):
+                """Stack P (1, width) scratch rows into one (P, width) value.
+
+                The rows live at different leading indices of a VMEM
+                scratch; a (P,)-leading vector load across them is not a
+                native Mosaic access, so build the value with P
+                broadcast+selects (once per slot — off the hot loop).
+                """
+                out = jnp.zeros((P, width), jnp.int32)
+                sel = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+                for p in range(P):
+                    out = jnp.where(
+                        sel == p,
+                        jax.lax.broadcast_in_dim(
+                            rows_1w[p], (P, width), (0, 1)
+                        ),
+                        out,
+                    )
+                return out
+
+            xv = assemble([xw[p, 0:1, :] for p in range(P)], W)
+
+            # Per-pair scalars widened to (P, 1) vectors once per slot.
+            zero_p1 = jnp.zeros((P, 1), jnp.int32)
+            offL = zero_p1  # dl0 - w0: left-border lane offset
+            offV = zero_p1  # i0 + dl0: left-border value base
+            top0 = zero_p1  # 1 iff window base is the band's left edge
+            for p in range(P):
+                offL = jnp.where(pidx == p, dl0s[p] - w0s[p], offL)
+                offV = jnp.where(pidx == p, i0s[p] + dl0s[p], offV)
+                top0 = jnp.where(
+                    pidx == p, jnp.where(w0s[p] == 0, 1, 0), top0
+                )
+            top_inject_mask = lane0_w & (top0 == 1)
 
             # --- recompute K steps, windowed; dirs packed 2-bit along t ---
             # Moves are 2 bits, and packing them along the *step* axis is
@@ -166,21 +252,23 @@ def _walk_call(
             def chunk_body(c, carry):
                 prev1, prev1s, prev2s, ydv = carry
                 cbase = pl.multiple_of(c * LANES, LANES)
-                ywin = yseg[0, 0:1, pl.ds(cbase, LANES)]
-                twin = tseg[0, 0:1, pl.ds(cbase, LANES)]
-                # widen chunks to W lanes so lane-0 selects broadcast right
-                # (jnp.where needs shapes to broadcast: (1,128) vs (1,W) do
-                # not; pad by static slice into a (1, W) zero canvas)
+                ywin = assemble(
+                    [yseg[p, 0:1, pl.ds(cbase, LANES)] for p in range(P)],
+                    LANES,
+                )
+                twin = assemble(
+                    [tseg[p, 0:1, pl.ds(cbase, LANES)] for p in range(P)],
+                    LANES,
+                )
 
                 def step(si, icarry):
                     prev1, prev1s, prev2s, ydv, ywin, twin, acc = icarry
                     t = cbase + si + 1
-                    dl = dl0 + t
 
                     ydv = jnp.where(
                         lane0_w,
                         jax.lax.broadcast_in_dim(
-                            ywin[0:1, 0:1], (1, W), (0, 1)
+                            ywin[:, 0:1], (P, W), (0, 1)
                         ),
                         pltpu.roll(ydv, shift=1, axis=1),
                     )
@@ -192,12 +280,12 @@ def _walk_call(
                     cur = jnp.where(
                         top_inject_mask,
                         jax.lax.broadcast_in_dim(
-                            twin[0:1, 0:1], (1, W), (0, 1)
+                            twin[:, 0:1], (P, W), (0, 1)
                         ),
                         cur,
                     )
                     cur = jnp.where(
-                        flat_w == dl - w0, (i0 + dl) * pgap, cur
+                        flat_w == offL + t, (offV + t) * pgap, cur
                     )
 
                     dirs_v = jnp.where(
@@ -216,7 +304,13 @@ def _walk_call(
 
                     @pl.when(sub16 == 15)
                     def _():
-                        pdirs[pl.ds((t - 1) // 16, 1), :] = acc
+                        # Per-pair rows on the untiled leading axis so the
+                        # per-pair walk DMA below slices aligned.
+                        row = (t - 1) // 16
+                        for p in range(P):
+                            pdirs[pl.ds(p * KC16 + row, 1)] = acc[
+                                p : p + 1, :
+                            ][None]
 
                     acc = jnp.where(sub16 == 15, 0, acc)
 
@@ -228,9 +322,9 @@ def _walk_call(
                     return (cur, prev1s_new, prev1s, ydv, ywin, twin, acc)
 
                 # Rolled loop (unroll=1): the walk kernel is latency-bound
-                # on tiny (1, W) vectors, and a full unroll here multiplies
+                # on small vectors, and a full unroll here multiplies
                 # compile time ~30x for no measurable runtime win.
-                acc0 = jnp.zeros((1, W), jnp.int32)
+                acc0 = jnp.zeros((P, W), jnp.int32)
                 prev1, prev1s, prev2s, ydv, _, _, _ = jax.lax.fori_loop(
                     0, LANES, step,
                     (prev1, prev1s, prev2s, ydv, ywin, twin, acc0),
@@ -240,54 +334,69 @@ def _walk_call(
             jax.lax.fori_loop(
                 0, KC, chunk_body,
                 (
-                    seeds[0, 0:1, :],
-                    seeds[1, 0:1, :],
-                    seeds[2, 0:1, :],
-                    yd0[0, 0:1, :],
+                    assemble(
+                        [seeds[3 * p + 0, 0:1, :] for p in range(P)], W
+                    ),
+                    assemble(
+                        [seeds[3 * p + 1, 0:1, :] for p in range(P)], W
+                    ),
+                    assemble(
+                        [seeds[3 * p + 2, 0:1, :] for p in range(P)], W
+                    ),
+                    assemble([yd0[p, 0:1, :] for p in range(P)], W),
                 ),
             )
 
-            cp_d = pltpu.make_async_copy(pdirs, sdirs, sem.at[7])
-            cp_d.start()
-            cp_d.wait()
-
-            # --- walk the segment ---
+            # --- walk each pair's segment ---
             # With the packed dirs in SMEM, each move is a scalar load plus
             # a shift/mask — no vector loads, reductions, or vector->scalar
             # syncs on the serial per-move critical path.
-            def w_cond(stt):
-                i, j, cnt = stt
-                q = i - i0
-                return (q >= 1) & (i > 0) & (j > 0) & (q + j > dl0)
+            def walk_for(p):
+                cp_d = pltpu.make_async_copy(
+                    pdirs.at[pl.ds(p * KC16, KC16)], sdirs, sem_d
+                )
+                cp_d.start()
+                cp_d.wait()
+                i0 = i0s[p]
+                dl0 = dl0s[p]
+                w0 = w0s[p]
 
-            def w_body(stt):
-                i, j, cnt = stt
-                q = i - i0
-                dl = q + j
-                t = dl - dl0 - 1
-                word = sdirs[t // 16, q - w0]
-                mv = (word >> (2 * (t % 16))) & 3
-                moves_ref[0, 0, cnt] = mv
-                step_i = jnp.where(mv <= 2, 1, 0)
-                step_j = jnp.where(mv == 2, 0, 1)
-                return (i - step_i, j - step_j, cnt + 1)
+                def w_cond(stt):
+                    i, j, cnt = stt
+                    q = i - i0
+                    return (q >= 1) & (i > 0) & (j > 0) & (q + j > dl0)
 
-            i_f, j_f, cnt_f = jax.lax.while_loop(
-                w_cond, w_body, (i_cur, j_cur, 0)
-            )
+                def w_body(stt):
+                    i, j, cnt = stt
+                    q = i - i0
+                    t = q + j - dl0 - 1
+                    word = sdirs[t // 16, 0, q - w0]
+                    mv = (word >> (2 * (t % 16))) & 3
+                    moves_ref[0, p, cnt] = mv
+                    step_i = jnp.where(mv <= 2, 1, 0)
+                    step_j = jnp.where(mv == 2, 0, 1)
+                    return (i - step_i, j - step_j, cnt + 1)
 
-            meta_ref[0, 0, 0] = cnt_f
-            meta_ref[0, 0, 1] = i_f
-            meta_ref[0, 0, 2] = j_f
-            st[0] = i_f
-            st[1] = j_f
-            st[2] = jnp.where((i_f == 0) | (j_f == 0), 1, 0)
+                i_f, j_f, cnt_f = jax.lax.while_loop(
+                    w_cond, w_body, (i_cs[p], j_cs[p], 0)
+                )
+                meta_ref[0, p, 0] = cnt_f
+                meta_ref[0, p, 1] = i_f
+                meta_ref[0, p, 2] = j_f
+                st[3 * p + 0] = i_f
+                st[3 * p + 1] = j_f
+                st[3 * p + 2] = jnp.where((i_f == 0) | (j_f == 0), 1, 0)
+
+            for p in range(P):
+                @pl.when(actives[p])
+                def _(p=p):
+                    walk_for(p)
 
     moves, meta = pl.pallas_call(
         kernel,
-        grid=(G,),
+        grid=(g8,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (P, 8)
             pl.BlockSpec(memory_space=pltpu.ANY),  # snaps
             pl.BlockSpec(memory_space=pltpu.ANY),  # rows_all
             pl.BlockSpec(memory_space=pltpu.ANY),  # xshift
@@ -298,26 +407,27 @@ def _walk_call(
             # Moves land in SMEM: the walk emits one scalar per move, so a
             # scalar store beats vector-register staging + 128-lane flushes.
             pl.BlockSpec(
-                (1, 1, K), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+                (1, P, K), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+                (1, P, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((G, 1, K), jnp.int32),
-            jax.ShapeDtypeStruct((G, 1, 8), jnp.int32),  # (count, end i/j)
+            jax.ShapeDtypeStruct((g8, P, K), jnp.int32),
+            jax.ShapeDtypeStruct((g8, P, 8), jnp.int32),  # (count, end i/j)
         ),
         scratch_shapes=[
-            pltpu.SMEM((8,), jnp.int32),  # walk state across grid steps
-            pltpu.VMEM((3, 1, W), jnp.int32),  # seeds
-            pltpu.VMEM((1, 1, W), jnp.int32),  # x window
-            pltpu.VMEM((1, 1, W), jnp.int32),  # yd init window
-            pltpu.VMEM((1, 1, K), jnp.int32),  # y forward feed
-            pltpu.VMEM((1, 1, K), jnp.int32),  # top row feed
-            pltpu.VMEM((K // 16, W), jnp.int32),  # packed segment dirs
-            pltpu.SMEM((K // 16, W), jnp.int32),  # packed dirs, walk copy
-            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SMEM((3 * P,), jnp.int32),  # walk state across grid steps
+            pltpu.VMEM((3 * P, 1, W), jnp.int32),  # seeds (3 rows per pair)
+            pltpu.VMEM((P, 1, W), jnp.int32),  # x windows
+            pltpu.VMEM((P, 1, W), jnp.int32),  # yd init windows
+            pltpu.VMEM((P, 1, K), jnp.int32),  # y forward feeds
+            pltpu.VMEM((P, 1, K), jnp.int32),  # top row feeds
+            pltpu.VMEM((P * (K // 16), 1, W), jnp.int32),  # packed dirs
+            pltpu.SMEM((K // 16, 1, W), jnp.int32),  # one pair's dirs, walk copy
+            pltpu.SemaphoreType.DMA((P, 8)),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -329,12 +439,24 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def walk_slot_budget(dl_max: int, num_bands: int) -> int:
+    """Static slot count: every slot consumes a segment exit or a band exit.
+
+    A pair's walk leaves a slot either below its segment floor (at most
+    ceil(dl_max / K) such exits along the whole path) or above its band
+    (at most num_bands exits), so dl_max//K + 2*num_bands + 4 slots always
+    finish the walk; the host re-checks completion (moves_to_alignment
+    raises if the walk never reached a border).
+    """
+    return dl_max // K + 2 * num_bands + 4
+
+
 RB_ALIGN = 32640  # v_len = 32768 -> R = 256 (multiple of 128: aligned
                   # snapshot slices). Band-ramp padding costs m*rb extra
                   # cells per pair, so smaller bands make the *fill* faster —
-                  # but they grow the walk grid (bands x segments) and its
-                  # per-segment overhead faster: rb=16256 measured 39.7 GCUPS
-                  # e2e vs 43.4 at rb=32640 on big13. Walk cost rules here.
+                  # but they grow the walk's segment count and per-segment
+                  # overhead: rb=16256 measured 39.7 GCUPS e2e vs 43.4 at
+                  # rb=32640 on big13 (pre-sublane-batching). Walk cost rules.
 Y_CAP = 100352  # spec max sequence length (~100k, docs/Project2B.pdf p.5)
 X_CAP = 100352  # band-grid cap: ceil(X_CAP/RB_ALIGN) = 4 bands compiled
 SMALL_THRESHOLD = 1 << 21  # below this m*n, the jnp full-dirs path wins
@@ -415,16 +537,18 @@ def nw_align_pallas(
         p1=P1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
     )
     params = np.array(
-        [m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0], dtype=np.int32
+        [[m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0]], dtype=np.int32
     )
 
     moves, meta = _walk_call(
         snaps_flat,
         rows_all,
-        xs32,
-        yfw,
-        yrev,
+        xs32.reshape(1, 1, Xp),
+        yfw.reshape(1, 1, yfw_len),
+        yrev.reshape(1, 1, yrev_len),
         jnp.asarray(params),
+        p_group=1,
+        g8=walk_slot_budget(num_bands * rb + y_cap, num_bands),
         num_bands=num_bands,
         s_max=s_max,
         rb=rb,
@@ -432,9 +556,9 @@ def nw_align_pallas(
         interpret=interpret,
     )
     l_max = _round_up(num_bands * rb + y_cap + 2 * K, LANES)
-    compact, total = _compact_moves(moves, meta, l_max=l_max)
-    compact_np = np.asarray(compact)
-    all_moves = compact_np[: int(total)].tolist()
+    compact, total = _compact_moves_group(moves, meta, l_max=l_max)
+    compact_np = np.asarray(compact[0])
+    all_moves = compact_np[: int(total[0])].tolist()
     a1, a2 = moves_to_alignment(x, y, all_moves)
     return int(score), a1, a2
 
@@ -460,21 +584,25 @@ def _build_walk_inputs(xshift8, ypad8, rev_shift, *, p1, yfw_len, yrev_len,
 
 
 @functools.partial(jax.jit, static_argnames=("l_max",))
-def _compact_moves(moves, meta, *, l_max):
-    """Concatenate per-segment move rows on device -> (l_max,) int8 + total.
+def _compact_moves_group(moves, meta, *, l_max):
+    """Per-pair concatenation of slot move rows -> (P, l_max) int8 + totals.
 
-    Keeps the bulky (G, K) walk output on device; only the compacted
-    byte stream crosses the device->host link.
+    Keeps the bulky (G, P, K) walk output on device; only the compacted
+    byte streams cross the device->host link.
     """
-    moves = moves[:, 0, :]
-    cnts = meta[:, 0, 0]
-    offs = jnp.cumsum(cnts) - cnts
-    tt = jnp.arange(moves.shape[1], dtype=jnp.int32)[None, :]
-    mask = tt < cnts[:, None]
-    flat_idx = jnp.where(mask, offs[:, None] + tt, l_max)
-    compact = (
-        jnp.zeros((l_max + 1,), jnp.int8)
-        .at[flat_idx.reshape(-1)]
-        .set(moves.reshape(-1).astype(jnp.int8), mode="drop")
-    )
-    return compact[:l_max], jnp.sum(cnts)
+    mv = jnp.transpose(moves, (1, 0, 2))  # (P, G, K)
+    cnts = jnp.transpose(meta[:, :, 0])  # (P, G)
+
+    def one(mrow, crow):
+        offs = jnp.cumsum(crow) - crow
+        tt = jnp.arange(mrow.shape[1], dtype=jnp.int32)[None, :]
+        mask = tt < crow[:, None]
+        flat_idx = jnp.where(mask, offs[:, None] + tt, l_max)
+        compact = (
+            jnp.zeros((l_max + 1,), jnp.int8)
+            .at[flat_idx.reshape(-1)]
+            .set(mrow.reshape(-1).astype(jnp.int8), mode="drop")
+        )
+        return compact[:l_max], jnp.sum(crow)
+
+    return jax.vmap(one)(mv, cnts)
