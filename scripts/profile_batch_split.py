@@ -85,12 +85,14 @@ def main():
     tbl = jnp.asarray(table)
     rws = jnp.asarray(rows)
 
+    # np.asarray (not block_until_ready) forces the sync: on the axon
+    # tunnel block_until_ready can return before execution completes.
     for emit, label in ((False, "score-only"), (True, "emit snaps+rows")):
         out = fill_batch(tbl, rws, p_pad=p_pad, emit=emit)
-        jax.block_until_ready(out)
+        _ = tuple(np.asarray(o) for o in out)
         t0 = time.time()
         out = fill_batch(tbl, rws, p_pad=p_pad, emit=emit)
-        jax.block_until_ready(out)
+        _ = tuple(np.asarray(o) for o in out)
         dt = time.time() - t0
         print(f"fill batch [{label}]: {dt:.2f}s = {cells/dt/1e9:.1f} GCUPS")
 

@@ -40,18 +40,23 @@ def main():
      l_max) = _static_geometry()
 
     # --- (1) score-only fill, per pair, exact geometry per pair ---
-    from msa_tpu.ops.pallas_nw import nw_score_pallas
+    # (Set SKIP_SCORE_ONLY=1 to skip: the per-pair loop is the slow legacy
+    # dispatch path and takes minutes cold.)
+    import os
 
-    t0 = time.time()
-    for i, j in pairs:
-        s = nw_score_pallas(genes[i], genes[j], problem.pxy, problem.pgap)
-    t_score_cold = time.time() - t0
-    t0 = time.time()
-    for i, j in pairs:
-        s = nw_score_pallas(genes[i], genes[j], problem.pxy, problem.pgap)
-    t_score = time.time() - t0
-    print(f"(1) score-only fill: {t_score:.2f}s = {cells/t_score/1e9:.1f} GCUPS"
-          f" (cold {t_score_cold:.2f}s)")
+    if not os.environ.get("SKIP_SCORE_ONLY"):
+        from msa_tpu.ops.pallas_nw import nw_score_pallas
+
+        t0 = time.time()
+        for i, j in pairs:
+            s = nw_score_pallas(genes[i], genes[j], problem.pxy, problem.pgap)
+        t_score_cold = time.time() - t0
+        t0 = time.time()
+        for i, j in pairs:
+            s = nw_score_pallas(genes[i], genes[j], problem.pxy, problem.pgap)
+        t_score = time.time() - t0
+        print(f"(1) score-only fill: {t_score:.2f}s = "
+              f"{cells/t_score/1e9:.1f} GCUPS (cold {t_score_cold:.2f}s)")
 
     # --- (2)+(3) batched align: time the device call alone ---
     table = np.full((len(genes), Xp), X_SENTINEL, np.int8)
@@ -59,15 +64,19 @@ def main():
         codes = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
         table[g, 1 : 1 + len(codes)] = codes
         table[g, 1 + len(seq):] = Y_SENTINEL
+    from msa_tpu.ops.batch import P_GROUP
     from msa_tpu.ops.pallas_walk import K, LANES
     num = len(pairs)
-    p_bucket = 16
-    p_pad = max(p_bucket, -(-num // p_bucket) * p_bucket)
+    order = sorted(
+        range(num),
+        key=lambda idx: -(len(genes[pairs[idx][0]]) + len(genes[pairs[idx][1]])),
+    )
+    p_pad = -(-num // P_GROUP) * P_GROUP
     pad_pair = min(pairs, key=lambda ij: len(genes[ij[0]]) * len(genes[ij[1]]))
     rows = np.zeros((p_pad, 24), dtype=np.int32)
     from msa_tpu.ops.pallas_walk import Y_CAP
     for idx in range(p_pad):
-        i, j = pairs[idx] if idx < num else pad_pair
+        i, j = pairs[order[idx]] if idx < num else pad_pair
         m, n = len(genes[i]), len(genes[j])
         real_nb = max(1, -(-m // rb))
         q_last = m - (real_nb - 1) * rb
@@ -78,12 +87,13 @@ def main():
         rows[idx, 17] = j
         rows[idx, 18] = P1 + P0 + n - Y_CAP
 
+    n_groups = p_pad // P_GROUP
     tbl = jnp.asarray(table)
-    rws = jnp.asarray(rows)
-    out = _align_batch_device(tbl, rws, p_pad=p_pad)
+    rws = jnp.asarray(rows).reshape(n_groups, P_GROUP, 24)
+    out = _align_batch_device(tbl, rws, n_groups=n_groups)
     jax.block_until_ready(out)
     t0 = time.time()
-    out = _align_batch_device(tbl, rws, p_pad=p_pad)
+    out = _align_batch_device(tbl, rws, n_groups=n_groups)
     jax.block_until_ready(out)
     t_batch = time.time() - t0
     print(f"(3) device batch (fill+walk+compact): {t_batch:.2f}s = "
