@@ -288,13 +288,17 @@ def _walk_call(
                         flat_w == offL + t, (offV + t) * pgap, cur
                     )
 
+                    # Tie-break (match -> diag -> up -> left) via compares on
+                    # already-computed operands: cur == min(t1, t2), so diag
+                    # wins iff t1 <= t2, and up beats left iff
+                    # prev1s <= prev1 — no extra adds on the serial chain.
                     dirs_v = jnp.where(
                         match,
                         0,
                         jnp.where(
-                            prev2s + pxy == cur,
+                            t1 <= t2,
                             1,
-                            jnp.where(prev1s + pgap == cur, 2, 3),
+                            jnp.where(prev1s <= prev1, 2, 3),
                         ),
                     )
                     # Pack step t-1 at bits 2*((t-1)%16); multiply by a
@@ -361,25 +365,49 @@ def _walk_call(
                 dl0 = dl0s[p]
                 w0 = w0s[p]
 
-                def w_cond(stt):
-                    i, j, cnt = stt
-                    q = i - i0
-                    return (q >= 1) & (i > 0) & (j > 0) & (q + j > dl0)
-
-                def w_body(stt):
-                    i, j, cnt = stt
-                    q = i - i0
-                    t = q + j - dl0 - 1
+                # The walk carries (q, t) = (i - i0, q + j - dl0 - 1): every
+                # loop-controlling quantity is then one compare away, and
+                # each move updates both with bounded decrements (q by <= 1,
+                # t by 1 or 2), so a burst of B moves is safe whenever
+                # q > B, t >= 2B, and j > B. The fast loop takes 4 moves per
+                # branch — the serial per-move critical path is the scalar
+                # core's loop overhead, not the loads — and the slow loop
+                # finishes the <= 4 remaining boundary moves exactly.
+                # Exit invariants: i = i0 + q, j = t - q + dl0 + 1.
+                def one_move(q, t, cnt):
                     word = sdirs[t // 16, 0, q - w0]
                     mv = (word >> (2 * (t % 16))) & 3
                     moves_ref[0, p, cnt] = mv
-                    step_i = jnp.where(mv <= 2, 1, 0)
-                    step_j = jnp.where(mv == 2, 0, 1)
-                    return (i - step_i, j - step_j, cnt + 1)
+                    q = q - jnp.where(mv <= 2, 1, 0)
+                    t = t - 1 - jnp.where(mv <= 1, 1, 0)
+                    return q, t, cnt + 1
 
-                i_f, j_f, cnt_f = jax.lax.while_loop(
-                    w_cond, w_body, (i_cs[p], j_cs[p], 0)
-                )
+                def f_cond(stt):
+                    q, t, cnt = stt
+                    return (q > 4) & (t >= 8) & (t - q + dl0 > 4)
+
+                def f_body(stt):
+                    q, t, cnt = stt
+                    q, t, cnt = one_move(q, t, cnt)
+                    q, t, cnt = one_move(q, t, cnt)
+                    q, t, cnt = one_move(q, t, cnt)
+                    q, t, cnt = one_move(q, t, cnt)
+                    return (q, t, cnt)
+
+                def w_cond(stt):
+                    q, t, cnt = stt
+                    return (q >= 1) & (t >= 0) & (t - q + dl0 + 1 > 0)
+
+                def w_body(stt):
+                    q, t, cnt = stt
+                    return one_move(q, t, cnt)
+
+                q0 = i_cs[p] - i0
+                t0 = q0 + j_cs[p] - dl0 - 1
+                stt = jax.lax.while_loop(f_cond, f_body, (q0, t0, 0))
+                q_f, t_f, cnt_f = jax.lax.while_loop(w_cond, w_body, stt)
+                i_f = i0 + q_f
+                j_f = t_f - q_f + dl0 + 1
                 meta_ref[0, p, 0] = cnt_f
                 meta_ref[0, p, 1] = i_f
                 meta_ref[0, p, 2] = j_f
