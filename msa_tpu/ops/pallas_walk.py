@@ -40,15 +40,16 @@ from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
 LANES = 128
 K = 512  # snapshot stride (diagonal steps per segment)
 KC = K // LANES
-# Recompute window width in lanes (multiple of 128). The walk enters a
-# segment at lane q_e and can descend at most K lanes in K diagonal steps;
-# contamination climbs from the window base at one lane per step, so cell
-# (t, q) is exact iff q >= w0 + t. With w0 <= q_e - K - safety the deepest
-# path cell (q_e - K + t at step t... >= q_e - K) stays >= w0 + t for every
-# t, so W = K + safety + alignment slack covers the path exactly: the walk
-# visits lanes [q_e - K, q_e]; with w0 = align128(q_e - K - 128) the top
-# lane q_e sits at most K + 255 above w0 < W = K + 384.
-W_MAX = K + 384
+# Recompute window width in lanes (multiple of 128). Contamination climbs
+# from the window base at one lane per step, so cell (t, q) is exact iff
+# q >= w0 + t (for w0 > 0; at w0 = 0 the band's boundary feeds make every
+# lane exact). The walk enters a segment at lane q_e with step coordinate
+# t0 <= K - 1 and each move lowers t by >= 1 and q by <= 1, so the cell read
+# at step t has q(t) >= q_e - (t0 - t); exactness needs q(t) >= w0 + t for
+# all t, i.e. w0 <= q_e - t0, guaranteed by w0 = align128_down(q_e - K).
+# Coverage of the entry lane needs W > q_e - w0, and q_e - w0 <= K + 127,
+# so W = K + 128 is exact with no slack.
+W_MAX = K + 128
 NEG_FILL = 2**30
 
 
@@ -123,7 +124,7 @@ def _walk_call(
             dl = q + j_c
             s = jnp.maximum(dl - 1, 0) // K
             w0 = jnp.clip(
-                ((q - K - 128) // LANES) * LANES, 0, v_len - W
+                ((q - K) // LANES) * LANES, 0, v_len - W
             )
             i_cs[p] = i_c
             j_cs[p] = j_c
@@ -368,8 +369,9 @@ def _walk_call(
                 # The walk carries (q, t) = (i - i0, q + j - dl0 - 1): every
                 # loop-controlling quantity is then one compare away, and
                 # each move updates both with bounded decrements (q by <= 1,
-                # t by 1 or 2), so a burst of B moves is safe whenever
-                # q > B, t >= 2B, and j > B. The fast loop takes 4 moves per
+                # t by 1 or 2), so a burst of B = 4 moves is safe under the
+                # enforced f_cond (q > 4, t >= 8, j > 5; j >= B would already
+                # suffice — the extra unit is slack). The fast loop takes 4 moves per
                 # branch — the serial per-move critical path is the scalar
                 # core's loop overhead, not the loads — and the slow loop
                 # finishes the <= 4 remaining boundary moves exactly.
