@@ -40,9 +40,9 @@ from msa_tpu.ops.pallas_walk import (
     X_CAP,
     Y_CAP,
     _build_walk_inputs,
-    _compact_moves_group,
     _round_up,
     _walk_call,
+    decode_moves,
     walk_slot_budget,
 )
 from msa_tpu.utils.alignment import moves_to_alignment
@@ -61,12 +61,12 @@ def _static_geometry():
     Xp = _round_up(num_bands * rb + v_len + LANES, LANES)
     yfw_len = _round_up(P1 + s_max * K + 2 * K, LANES)
     yrev_len = _round_up(P1 + LANES + Y_CAP + v_len + 2 * LANES, LANES)
-    l_max = _round_up(num_bands * rb + Y_CAP + 2 * K, LANES)
-    return rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len, l_max
+    return rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len
 
 
-@functools.partial(jax.jit, static_argnames=("n_groups",))
-def _align_batch_device(gene_table, pair_params, *, n_groups):
+@functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
+def _align_batch_device(gene_table, pair_params, *, n_groups,
+                        interpret=False):
     """scan over groups: P fills, then one P-wide walk, all on device.
 
     gene_table: (k, Xp) int8, row g = gene codes in shifted layout
@@ -76,8 +76,8 @@ def _align_batch_device(gene_table, pair_params, *, n_groups):
         [8:16] walk params  (m, n, pxy, pgap, yoff, p1, 0, 0)
         [16]   x gene index, [17] y gene index, [18] rev_shift
     """
-    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len,
-     l_max) = _static_geometry()
+    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len,
+     yrev_len) = _static_geometry()
     S3 = num_bands * s_max * 3
     g8 = walk_slot_budget(X_CAP + Y_CAP, num_bands)
 
@@ -105,6 +105,7 @@ def _align_batch_device(gene_table, pair_params, *, n_groups):
             xbands, ybuf, params_fill,
             num_bands=num_bands, rb=rb, v_len=v_len,
             emit_rows=True, emit_snaps=True, snap_k=SNAP_K,
+            interpret=interpret, unroll=1 if interpret else 128,
         )
 
         jj = jnp.arange(Yp, dtype=jnp.int32)
@@ -140,21 +141,14 @@ def _align_batch_device(gene_table, pair_params, *, n_groups):
             s_max=s_max,
             rb=rb,
             v_len=v_len,
+            interpret=interpret,
         )
-        compact, totals = _compact_moves_group(moves, meta, l_max=l_max)
-        # 2-bit pack: moves are 0..3; padding beyond each total is 0.
-        c = compact.astype(jnp.uint8).reshape(P_GROUP, -1, 4)
-        packed = c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (
-            c[:, :, 3] << 6
-        )
-        return carry, (scores, packed, totals)
+        # moves: (g8, P, K//16) int32, 16 moves per word, packed in-kernel
+        # by the walk (decode_moves on host); counts ride meta[:, :, 0].
+        return carry, (scores, moves, meta[:, :, 0])
 
-    _, (scores, packed, totals) = jax.lax.scan(group_body, None, pair_params)
-    return (
-        scores.reshape(-1),
-        packed.reshape(n_groups * P_GROUP, -1),
-        totals.reshape(-1),
-    )
+    _, (scores, words, counts) = jax.lax.scan(group_body, None, pair_params)
+    return scores.reshape(-1), words, counts
 
 
 def align_pairs_batched(
@@ -162,6 +156,7 @@ def align_pairs_batched(
     pairs: Sequence[Tuple[int, int]],  # (i, j) gene indices per pair
     pxy: int,
     pgap: int,
+    interpret: bool = False,
 ) -> List[Tuple[int, str, str]]:
     """Align many (big) pairs in one device call; returns per-pair results.
 
@@ -169,8 +164,8 @@ def align_pairs_batched(
     m+n (walk length), grouped P_GROUP at a time, and the group count padded
     with the cheapest pair; results return in the caller's order.
     """
-    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len,
-     l_max) = _static_geometry()
+    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len,
+     yrev_len) = _static_geometry()
 
     k = len(genes)
     table = np.full((k, Xp), X_SENTINEL, np.int8)
@@ -212,28 +207,22 @@ def align_pairs_batched(
         rows[slot, 18] = P1 + P0 + n - Y_CAP
 
     n_groups = p_pad // P_GROUP
-    scores, packed, totals = _align_batch_device(
+    scores, words, counts = _align_batch_device(
         jnp.asarray(table),
         jnp.asarray(rows).reshape(n_groups, P_GROUP, 24),
         n_groups=n_groups,
+        interpret=interpret,
     )
     scores = np.asarray(scores)
-    packed = np.asarray(packed)
-    totals = np.asarray(totals)
+    words = np.asarray(words)  # (n_groups, g8, P_GROUP, K//16)
+    counts = np.asarray(counts)  # (n_groups, g8, P_GROUP)
 
     out: List[Tuple[int, str, str]] = [None] * num  # type: ignore[list-item]
     for slot in range(num):
         idx = order[slot]
-        total = int(totals[slot])
-        b = packed[slot, : -(-total // 4) if total else 0]
-        moves = np.empty(4 * len(b), dtype=np.int8)
-        moves[0::4] = b & 3
-        moves[1::4] = (b >> 2) & 3
-        moves[2::4] = (b >> 4) & 3
-        moves[3::4] = (b >> 6) & 3
+        g, p = divmod(slot, P_GROUP)
+        moves = decode_moves(words[g, :, p, :], counts[g, :, p])
         i, j = pairs[idx]
-        a1, a2 = moves_to_alignment(
-            genes[i], genes[j], moves[:total]
-        )
+        a1, a2 = moves_to_alignment(genes[i], genes[j], moves)
         out[idx] = (int(scores[slot]), a1, a2)
     return out

@@ -355,13 +355,17 @@ def _walk_call(
             # --- walk each pair's segment ---
             # With the packed dirs in SMEM, each move is a scalar load plus
             # a shift/mask — no vector loads, reductions, or vector->scalar
-            # syncs on the serial per-move critical path.
-            def walk_for(p):
-                cp_d = pltpu.make_async_copy(
-                    pdirs.at[pl.ds(p * KC16, KC16)], sdirs, sem_d
+            # syncs on the serial per-move critical path. The VMEM->SMEM
+            # dirs copies are double-buffered: pair p+1's copy runs while
+            # pair p's scalar walk executes, so only the first copy's
+            # latency is exposed per slot.
+            def sdirs_copy(p, buf):
+                return pltpu.make_async_copy(
+                    pdirs.at[pl.ds(p * KC16, KC16)], sdirs.at[buf],
+                    sem_d.at[buf],
                 )
-                cp_d.start()
-                cp_d.wait()
+
+            def walk_for(p, buf):
                 i0 = i0s[p]
                 dl0 = dl0s[p]
                 w0 = w0s[p]
@@ -375,39 +379,46 @@ def _walk_call(
                 # branch — the serial per-move critical path is the scalar
                 # core's loop overhead, not the loads — and the slow loop
                 # finishes the <= 4 remaining boundary moves exactly.
-                # Exit invariants: i = i0 + q, j = t - q + dl0 + 1.
-                def one_move(q, t, cnt):
-                    word = sdirs[t // 16, 0, q - w0]
+                # Exit invariants: i = i0 + q, j = t - q + dl0 + 1. Moves
+                # are emitted 2-bit-packed, 16 per int32 word (move c rides
+                # bits 2*(c%16) of word c//16): the packing is one extra
+                # scalar select+shift+or per move, and it shrinks the moves
+                # output 16x AND removes the device-side compaction pass
+                # that used to scatter (G, P, K) move rows after the walk.
+                def one_move(q, t, cnt, acc):
+                    word = sdirs[buf, t // 16, 0, q - w0]
                     mv = (word >> (2 * (t % 16))) & 3
-                    moves_ref[0, p, cnt] = mv
+                    sub = cnt & 15
+                    acc = jnp.where(sub == 0, 0, acc) | (mv << (2 * sub))
+                    moves_ref[0, p, cnt >> 4] = acc
                     q = q - jnp.where(mv <= 2, 1, 0)
                     t = t - 1 - jnp.where(mv <= 1, 1, 0)
-                    return q, t, cnt + 1
+                    return q, t, cnt + 1, acc
 
                 def f_cond(stt):
-                    q, t, cnt = stt
+                    q, t, cnt, acc = stt
                     return (q > 4) & (t >= 8) & (t - q + dl0 > 4)
 
                 def f_body(stt):
-                    q, t, cnt = stt
-                    q, t, cnt = one_move(q, t, cnt)
-                    q, t, cnt = one_move(q, t, cnt)
-                    q, t, cnt = one_move(q, t, cnt)
-                    q, t, cnt = one_move(q, t, cnt)
-                    return (q, t, cnt)
+                    q, t, cnt, acc = stt
+                    q, t, cnt, acc = one_move(q, t, cnt, acc)
+                    q, t, cnt, acc = one_move(q, t, cnt, acc)
+                    q, t, cnt, acc = one_move(q, t, cnt, acc)
+                    q, t, cnt, acc = one_move(q, t, cnt, acc)
+                    return (q, t, cnt, acc)
 
                 def w_cond(stt):
-                    q, t, cnt = stt
+                    q, t, cnt, acc = stt
                     return (q >= 1) & (t >= 0) & (t - q + dl0 + 1 > 0)
 
                 def w_body(stt):
-                    q, t, cnt = stt
-                    return one_move(q, t, cnt)
+                    q, t, cnt, acc = stt
+                    return one_move(q, t, cnt, acc)
 
                 q0 = i_cs[p] - i0
                 t0 = q0 + j_cs[p] - dl0 - 1
-                stt = jax.lax.while_loop(f_cond, f_body, (q0, t0, 0))
-                q_f, t_f, cnt_f = jax.lax.while_loop(w_cond, w_body, stt)
+                stt = jax.lax.while_loop(f_cond, f_body, (q0, t0, 0, 0))
+                q_f, t_f, cnt_f, _ = jax.lax.while_loop(w_cond, w_body, stt)
                 i_f = i0 + q_f
                 j_f = t_f - q_f + dl0 + 1
                 meta_ref[0, p, 0] = cnt_f
@@ -417,10 +428,18 @@ def _walk_call(
                 st[3 * p + 1] = j_f
                 st[3 * p + 2] = jnp.where((i_f == 0) | (j_f == 0), 1, 0)
 
+            @pl.when(actives[0])
+            def _():
+                sdirs_copy(0, 0).start()
             for p in range(P):
+                if p + 1 < P:
+                    @pl.when(actives[p + 1])
+                    def _(p=p):
+                        sdirs_copy(p + 1, (p + 1) % 2).start()
                 @pl.when(actives[p])
                 def _(p=p):
-                    walk_for(p)
+                    sdirs_copy(p, p % 2).wait()
+                    walk_for(p, p % 2)
 
     moves, meta = pl.pallas_call(
         kernel,
@@ -434,17 +453,19 @@ def _walk_call(
             pl.BlockSpec(memory_space=pltpu.ANY),  # yrev
         ],
         out_specs=(
-            # Moves land in SMEM: the walk emits one scalar per move, so a
-            # scalar store beats vector-register staging + 128-lane flushes.
+            # Moves land in SMEM: the walk emits one scalar word per 16
+            # moves, so scalar stores beat vector-register staging +
+            # 128-lane flushes.
             pl.BlockSpec(
-                (1, P, K), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+                (1, P, K // 16), lambda g: (g, 0, 0),
+                memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
                 (1, P, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((g8, P, K), jnp.int32),
+            jax.ShapeDtypeStruct((g8, P, K // 16), jnp.int32),
             jax.ShapeDtypeStruct((g8, P, 8), jnp.int32),  # (count, end i/j)
         ),
         scratch_shapes=[
@@ -455,9 +476,11 @@ def _walk_call(
             pltpu.VMEM((P, 1, K), jnp.int32),  # y forward feeds
             pltpu.VMEM((P, 1, K), jnp.int32),  # top row feeds
             pltpu.VMEM((P * (K // 16), 1, W), jnp.int32),  # packed dirs
-            pltpu.SMEM((K // 16, 1, W), jnp.int32),  # one pair's dirs, walk copy
+            # Double-buffered per-pair dirs for the scalar walk (see
+            # sdirs_copy): buffer (p % 2) is walked while (p+1) % 2 fills.
+            pltpu.SMEM((2, K // 16, 1, W), jnp.int32),
             pltpu.SemaphoreType.DMA((P, 8)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -482,27 +505,39 @@ def walk_slot_budget(dl_max: int, num_bands: int) -> int:
 
 
 RB_ALIGN = 32640  # v_len = 32768 -> R = 256 (multiple of 128: aligned
-                  # snapshot slices). Band-ramp padding costs m*rb extra
-                  # cells per pair, so smaller bands make the *fill* faster —
-                  # but they grow the walk's segment count and per-segment
-                  # overhead: rb=16256 measured 39.7 GCUPS e2e vs 43.4 at
-                  # rb=32640 on big13 (pre-sublane-batching). Walk cost rules.
+                  # snapshot slices). Smaller bands raise lane *efficiency*
+                  # (less ramp padding: 56% -> 72% at rb=16256 on big13) but
+                  # LOSE wall-clock: the fill step has a fixed per-step cost
+                  # (small-vector feeds, scalar traffic, loop overhead) that
+                  # halving the band width does not halve, so 57% more steps
+                  # at half width nets out slower — measured 70.7 vs 82.7
+                  # GCUPS e2e (r2). rb=32640 is the sweet spot.
 Y_CAP = 100352  # spec max sequence length (~100k, docs/Project2B.pdf p.5)
 X_CAP = 100352  # band-grid cap: ceil(X_CAP/RB_ALIGN) = 4 bands compiled
 SMALL_THRESHOLD = 1 << 21  # below this m*n, the jnp full-dirs path wins
 
 
 def nw_align_pallas(
-    x: str, y: str, pxy: int, pgap: int, interpret: bool = False
+    x: str, y: str, pxy: int, pgap: int, interpret: bool = False,
+    rb_align: int = 0, x_cap: int = 0, y_cap_req: int = 0,
 ) -> Tuple[int, str, str]:
-    """Penalty + byte-exact alignment via Pallas fill + traceback walk."""
+    """Penalty + byte-exact alignment via Pallas fill + traceback walk.
+
+    ``rb_align`` / ``x_cap`` / ``y_cap_req`` override the production
+    geometry (RB_ALIGN / X_CAP / Y_CAP); pass small values together with
+    ``interpret=True`` to exercise the kernels on CPU in CI.
+    """
     from msa_tpu.utils.alignment import moves_to_alignment
 
     m, n = len(x), len(y)
-    if m == 0 or n == 0 or m * n <= SMALL_THRESHOLD:
+    small = m == 0 or n == 0 or m * n <= SMALL_THRESHOLD
+    if small and not (interpret and rb_align):
         from msa_tpu.ops.nw_jax import nw_align_jax
 
         return nw_align_jax(x, y, pxy, pgap)
+    rb_align = rb_align or RB_ALIGN
+    x_cap = x_cap or X_CAP
+    y_cap_req = y_cap_req or Y_CAP
 
     from msa_tpu.ops.pallas_nw import (
         SNAP_K,
@@ -511,13 +546,13 @@ def nw_align_pallas(
         build_fill_inputs,
     )
 
-    y_cap = max(Y_CAP, _round_up(n, 8 * LANES))
+    y_cap = max(y_cap_req, _round_up(n, 8 * LANES))
     rb, v_len, real_nb, q_last, Yp = _band_geometry(
-        m, n, RB_ALIGN, y_cap=y_cap, align_mode=True
+        m, n, rb_align, y_cap=y_cap, align_mode=True
     )
     # Compile one kernel per bucket: the band grid is sized for the cap and
     # bands beyond the pair's real count are runtime-skipped.
-    num_bands = max(real_nb, -(-max(m, X_CAP) // rb))
+    num_bands = max(real_nb, -(-max(m, x_cap) // rb))
     s_max = (rb + Yp) // SNAP_K + 1
     P1 = rb
     P0 = (-n) % LANES
@@ -545,7 +580,7 @@ def nw_align_pallas(
         xbands, ybuf, jnp.asarray(params_fill),
         num_bands=num_bands, rb=rb, v_len=v_len,
         emit_rows=True, emit_snaps=True, interpret=interpret,
-        snap_k=SNAP_K,
+        snap_k=SNAP_K, unroll=1 if interpret else 128,
     )
     score = score[0, 0]
 
@@ -585,10 +620,9 @@ def nw_align_pallas(
         v_len=v_len,
         interpret=interpret,
     )
-    l_max = _round_up(num_bands * rb + y_cap + 2 * K, LANES)
-    compact, total = _compact_moves_group(moves, meta, l_max=l_max)
-    compact_np = np.asarray(compact[0])
-    all_moves = compact_np[: int(total[0])].tolist()
+    all_moves = decode_moves(
+        np.asarray(moves)[:, 0, :], np.asarray(meta)[:, 0, 0]
+    )
     a1, a2 = moves_to_alignment(x, y, all_moves)
     return int(score), a1, a2
 
@@ -613,26 +647,18 @@ def _build_walk_inputs(xshift8, ypad8, rev_shift, *, p1, yfw_len, yrev_len,
     return xs, yfw[None, None, :], yrev[None, None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("l_max",))
-def _compact_moves_group(moves, meta, *, l_max):
-    """Per-pair concatenation of slot move rows -> (P, l_max) int8 + totals.
+def decode_moves(words: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Host decode of one pair's packed walk output -> int8 move stream.
 
-    Keeps the bulky (G, P, K) walk output on device; only the compacted
-    byte streams cross the device->host link.
+    ``words``: (G, K//16) int32, slot g's moves 16-per-word (move c of the
+    slot rides bits 2*(c%16) of word c//16). ``counts``: (G,) moves emitted
+    per slot. Slots are grid-ordered, so masking by count and flattening
+    row-major concatenates the per-slot streams in walk order.
     """
-    mv = jnp.transpose(moves, (1, 0, 2))  # (P, G, K)
-    cnts = jnp.transpose(meta[:, :, 0])  # (P, G)
-
-    def one(mrow, crow):
-        offs = jnp.cumsum(crow) - crow
-        tt = jnp.arange(mrow.shape[1], dtype=jnp.int32)[None, :]
-        mask = tt < crow[:, None]
-        flat_idx = jnp.where(mask, offs[:, None] + tt, l_max)
-        compact = (
-            jnp.zeros((l_max + 1,), jnp.int8)
-            .at[flat_idx.reshape(-1)]
-            .set(mrow.reshape(-1).astype(jnp.int8), mode="drop")
-        )
-        return compact[:l_max], jnp.sum(crow)
-
-    return jax.vmap(one)(mv, cnts)
+    G = words.shape[0]
+    shifts = 2 * np.arange(16, dtype=np.uint32)
+    m2 = (
+        (words.astype(np.uint32)[:, :, None] >> shifts) & 3
+    ).astype(np.int8).reshape(G, -1)
+    mask = np.arange(m2.shape[1])[None, :] < counts[:, None]
+    return m2[mask]

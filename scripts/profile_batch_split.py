@@ -22,8 +22,8 @@ from msa_tpu.ops.pallas_walk import K, LANES, Y_CAP
 
 @functools.partial(jax.jit, static_argnames=("p_pad", "emit"))
 def fill_batch(gene_table, pair_params, *, p_pad, emit):
-    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len,
-     l_max) = _static_geometry()
+    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len,
+     yrev_len) = _static_geometry()
 
     def one(carry, pp):
         params_fill = pp[0:8]
@@ -56,8 +56,8 @@ def main():
     pairs = [(t.i, t.j) for t in tasks]
     cells = sum(len(genes[i]) * len(genes[j]) for i, j in pairs)
 
-    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len,
-     l_max) = _static_geometry()
+    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len,
+     yrev_len) = _static_geometry()
     print(f"geometry: rb={rb} v_len={v_len} nb={num_bands} s_max={s_max} Yp={Yp}")
 
     table = np.full((len(genes), Xp), X_SENTINEL, np.int8)

@@ -36,8 +36,8 @@ def main():
     from msa_tpu.ops.pallas_nw import _band_sweep_call, build_fill_inputs, SNAP_K
     from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
 
-    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len,
-     l_max) = _static_geometry()
+    (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len,
+     yrev_len) = _static_geometry()
 
     # --- (1) score-only fill, per pair, exact geometry per pair ---
     # (Set SKIP_SCORE_ONLY=1 to skip: the per-pair loop is the slow legacy
