@@ -64,14 +64,19 @@ def _static_geometry():
     return rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len, yrev_len
 
 
-@functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
-def _align_batch_device(gene_table, pair_params, *, n_groups,
-                        interpret=False):
-    """scan over groups: P fills, then one P-wide walk, all on device.
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _align_group_device(gene_table, group_params, *, interpret=False):
+    """One group on device: P fills (lax.scan), then one P-wide walk.
+
+    Groups are dispatched from the host one call at a time (all enqueued
+    asynchronously), so the host's move decode of group g overlaps the
+    device executing groups g+1.. — the reference kept ranks busy the same
+    way by replenishing tasks as results arrived
+    (``submit/xuliny-seqalkway.cpp:305-331``).
 
     gene_table: (k, Xp) int8, row g = gene codes in shifted layout
                 (table[g, t] = code(gene[t-1]), sentinel elsewhere).
-    pair_params: (n_groups, P_GROUP, 24) int32 rows:
+    group_params: (P_GROUP, 24) int32 rows:
         [0:8]  fill params  (m, n, pxy, pgap, q_last, real_nb, 0, 0)
         [8:16] walk params  (m, n, pxy, pgap, yoff, p1, 0, 0)
         [16]   x gene index, [17] y gene index, [18] rev_shift
@@ -124,31 +129,27 @@ def _align_batch_device(gene_table, pair_params, *, n_groups,
             xs32[0], yfw[0], yrev[0], pp[8:16],
         )
 
-    def group_body(carry, gpp):
-        _, (scores, rows_s, snaps_s, xs_s, yfw_s, yrev_s, wparams) = (
-            jax.lax.scan(fill_one, None, gpp)
-        )
-        moves, meta = _walk_call(
-            snaps_s.reshape(P_GROUP * S3, 1, v_len),
-            rows_s.reshape(P_GROUP * num_bands, 1, Yp),
-            xs_s,
-            yfw_s,
-            yrev_s,
-            wparams,
-            p_group=P_GROUP,
-            g8=g8,
-            num_bands=num_bands,
-            s_max=s_max,
-            rb=rb,
-            v_len=v_len,
-            interpret=interpret,
-        )
-        # moves: (g8, P, K//16) int32, 16 moves per word, packed in-kernel
-        # by the walk (decode_moves on host); counts ride meta[:, :, 0].
-        return carry, (scores, moves, meta[:, :, 0])
-
-    _, (scores, words, counts) = jax.lax.scan(group_body, None, pair_params)
-    return scores.reshape(-1), words, counts
+    _, (scores, rows_s, snaps_s, xs_s, yfw_s, yrev_s, wparams) = (
+        jax.lax.scan(fill_one, None, group_params)
+    )
+    moves, meta = _walk_call(
+        snaps_s.reshape(P_GROUP * S3, 1, v_len),
+        rows_s.reshape(P_GROUP * num_bands, 1, Yp),
+        xs_s,
+        yfw_s,
+        yrev_s,
+        wparams,
+        p_group=P_GROUP,
+        g8=g8,
+        num_bands=num_bands,
+        s_max=s_max,
+        rb=rb,
+        v_len=v_len,
+        interpret=interpret,
+    )
+    # moves: (g8, P, K//16) int32, 16 moves per word, packed in-kernel
+    # by the walk (decode_moves on host); counts ride meta[:, :, 0].
+    return scores, moves, meta[:, :, 0]
 
 
 def align_pairs_batched(
@@ -207,22 +208,27 @@ def align_pairs_batched(
         rows[slot, 18] = P1 + P0 + n - Y_CAP
 
     n_groups = p_pad // P_GROUP
-    scores, words, counts = _align_batch_device(
-        jnp.asarray(table),
-        jnp.asarray(rows).reshape(n_groups, P_GROUP, 24),
-        n_groups=n_groups,
-        interpret=interpret,
-    )
-    scores = np.asarray(scores)
-    words = np.asarray(words)  # (n_groups, g8, P_GROUP, K//16)
-    counts = np.asarray(counts)  # (n_groups, g8, P_GROUP)
+    table_dev = jnp.asarray(table)
+    gpp = jnp.asarray(rows).reshape(n_groups, P_GROUP, 24)
+    # Enqueue every group's program up front (JAX dispatch is async): the
+    # device streams group after group while the host decodes finished ones.
+    futs = [
+        _align_group_device(table_dev, gpp[g], interpret=interpret)
+        for g in range(n_groups)
+    ]
 
     out: List[Tuple[int, str, str]] = [None] * num  # type: ignore[list-item]
-    for slot in range(num):
-        idx = order[slot]
-        g, p = divmod(slot, P_GROUP)
-        moves = decode_moves(words[g, :, p, :], counts[g, :, p])
-        i, j = pairs[idx]
-        a1, a2 = moves_to_alignment(genes[i], genes[j], moves)
-        out[idx] = (int(scores[slot]), a1, a2)
+    for g, (scores_d, words_d, counts_d) in enumerate(futs):
+        scores = np.asarray(scores_d)  # blocks until group g completes
+        words = np.asarray(words_d)  # (g8, P_GROUP, K//16)
+        counts = np.asarray(counts_d)  # (g8, P_GROUP)
+        for p in range(P_GROUP):
+            slot = g * P_GROUP + p
+            if slot >= num:
+                break
+            idx = order[slot]
+            moves = decode_moves(words[:, p, :], counts[:, p])
+            i, j = pairs[idx]
+            a1, a2 = moves_to_alignment(genes[i], genes[j], moves)
+            out[idx] = (int(scores[p]), a1, a2)
     return out

@@ -18,7 +18,7 @@ import numpy as np
 
 from msa_tpu.utils.msaio import parse_file
 from msa_tpu.ops.batch import (
-    _align_batch_device,
+    _align_group_device,
     _static_geometry,
     align_pairs_batched,
 )
@@ -90,13 +90,18 @@ def main():
     n_groups = p_pad // P_GROUP
     tbl = jnp.asarray(table)
     rws = jnp.asarray(rows).reshape(n_groups, P_GROUP, 24)
-    out = _align_batch_device(tbl, rws, n_groups=n_groups)
-    jax.block_until_ready(out)
+
+    def run_groups():
+        # np.asarray (not block_until_ready) forces the sync: on the axon
+        # tunnel block_until_ready can return before execution completes.
+        futs = [_align_group_device(tbl, rws[g]) for g in range(n_groups)]
+        return [tuple(np.asarray(o) for o in f) for f in futs]
+
+    run_groups()
     t0 = time.time()
-    out = _align_batch_device(tbl, rws, n_groups=n_groups)
-    jax.block_until_ready(out)
+    run_groups()
     t_batch = time.time() - t0
-    print(f"(3) device batch (fill+walk+compact): {t_batch:.2f}s = "
+    print(f"(3) device batch (fill+walk): {t_batch:.2f}s = "
           f"{cells/t_batch/1e9:.1f} GCUPS")
 
     # --- (4) full align_pairs_batched including host post ---
