@@ -37,12 +37,44 @@ def main(argv=None) -> int:
         "--checkpoint",
         default=None,
         metavar="PATH",
-        help="journal completed pairs to PATH and resume from it on restart",
+        help="journal completed pairs to PATH and resume from it on restart"
+        " (a {proc} placeholder expands to the process index)",
+    )
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="initialize the JAX distributed runtime (multi-host run); on"
+        " TPU pods the cluster is auto-detected, otherwise pass"
+        " --coordinator/--num-processes/--process-id",
+    )
+    parser.add_argument("--coordinator", default=None, metavar="HOST:PORT")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument(
+        "--platform",
+        default=None,
+        help="force the JAX platform (e.g. cpu); needed for CPU"
+        " multi-process runs where the environment pins a TPU platform"
+        " in the live config before main() runs",
     )
     args = parser.parse_args(argv)
 
     from msa_tpu.utils import jaxenv  # noqa: F401  (compile-cache setup)
     from msa_tpu.utils.msaio import parse_file, parse_input, format_output
+
+    if args.platform:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.platform)
+
+    if args.distributed:
+        from msa_tpu.parallel.engine import init_distributed
+
+        init_distributed(
+            coordinator=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     if args.input:
         problem = parse_file(args.input)
@@ -50,10 +82,12 @@ def main(argv=None) -> int:
         problem = parse_input(sys.stdin)
 
     start = time.time_ns() // 1000
-    if args.batched:
+    if args.batched or args.distributed:
         from msa_tpu.parallel.engine import align_kway_sharded
 
-        result = align_kway_sharded(problem)
+        result = align_kway_sharded(
+            problem, backend=args.backend, checkpoint=args.checkpoint
+        )
     else:
         from msa_tpu.models.kway import align_kway
 
@@ -62,9 +96,14 @@ def main(argv=None) -> int:
         )
     elapsed = time.time_ns() // 1000 - start
 
-    sys.stdout.write(
-        format_output(elapsed, result.chain_hash, result.penalties)
-    )
+    # Every process computes the identical result; only process 0 owns
+    # stdout (the reference printed from rank 0 only, submit:60-70).
+    import jax
+
+    if jax.process_index() == 0:
+        sys.stdout.write(
+            format_output(elapsed, result.chain_hash, result.penalties)
+        )
     return 0
 
 

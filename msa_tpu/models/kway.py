@@ -36,14 +36,22 @@ class KWayAligner:
     def __init__(self, pxy: int, pgap: int, backend: str = "auto"):
         self.pairwise = PairwiseAligner(pxy, pgap, backend=backend)
 
-    def align_all(
+    def align_tasks(
         self,
         genes: Sequence[str],
-        keep_alignments: bool = False,
+        tasks: Sequence,
         checkpoint: Optional[str] = None,
-    ) -> KWayResult:
-        tasks = pair_task_list(len(genes))
-        results: List[Optional[PairResult]] = [None] * len(tasks)
+    ) -> List[PairResult]:
+        """Align an arbitrary task subset; results in the given task order.
+
+        This is the per-shard work unit of the multi-host engine
+        (``parallel.engine``): big pairs go through the batched device
+        pipeline, the rest through the host path, journal-resumable.
+        The reference analog is the worker loop that executed whatever
+        tasks arrived (``submit/xuliny-seqalkway.cpp:369-417``) — here the
+        shard is an input, not a message stream.
+        """
+        results: dict = {}
 
         journal = None
         if checkpoint:
@@ -53,12 +61,15 @@ class KWayAligner:
                 checkpoint,
                 problem_key(self.pairwise.pxy, self.pairwise.pgap, genes),
             )
-            for task_id, (penalty, h) in journal.load().items():
-                if 0 <= task_id < len(tasks):
-                    t = tasks[task_id]
-                    results[task_id] = PairResult(task_id, penalty, "", "", h)
+            done = journal.load()
+            for t in tasks:
+                if t.task_id in done:
+                    penalty, h = done[t.task_id]
+                    results[t.task_id] = PairResult(
+                        t.task_id, penalty, "", "", h
+                    )
 
-        remaining = [t for t in tasks if results[t.task_id] is None]
+        remaining = [t for t in tasks if t.task_id not in results]
         batched = self._batched_tasks(genes, remaining)
         if batched:
             from msa_tpu.ops.batch import align_pairs_batched
@@ -75,10 +86,12 @@ class KWayAligner:
                     t.task_id, penalty, a1, a2, pair_hash(a1, a2)
                 )
                 if journal is not None:
-                    journal.record(t.task_id, penalty, results[t.task_id].problem_hash)
+                    journal.record(
+                        t.task_id, penalty, results[t.task_id].problem_hash
+                    )
 
         for t in tasks:
-            if results[t.task_id] is None:
+            if t.task_id not in results:
                 results[t.task_id] = self.pairwise.do_task(
                     t.task_id, genes[t.i], genes[t.j]
                 )
@@ -87,6 +100,16 @@ class KWayAligner:
                     journal.record(t.task_id, r.penalty, r.problem_hash)
         if journal is not None:
             journal.close()
+        return [results[t.task_id] for t in tasks]
+
+    def align_all(
+        self,
+        genes: Sequence[str],
+        keep_alignments: bool = False,
+        checkpoint: Optional[str] = None,
+    ) -> KWayResult:
+        tasks = pair_task_list(len(genes))
+        results = self.align_tasks(genes, tasks, checkpoint=checkpoint)
         penalties = [r.penalty for r in results]
         chain = chain_hashes(r.problem_hash for r in results)
         return KWayResult(

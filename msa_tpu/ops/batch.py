@@ -47,7 +47,7 @@ from msa_tpu.ops.pallas_walk import (
 )
 from msa_tpu.utils.alignment import moves_to_alignment
 
-P_GROUP = 8  # pairs per walk launch = the VPU sublane count
+P_GROUP = 8  # pairs per walk launch = the VPU sublane count (16 measured slower: 91.5 vs 93.2 GCUPS)
 
 
 def _static_geometry():

@@ -17,7 +17,6 @@ Replaces the reference's MPI orchestration layers
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional, Sequence
 
 import jax
@@ -26,7 +25,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from msa_tpu.models.kway import KWayResult
-from msa_tpu.models.pairwise import PairwiseAligner
 from msa_tpu.ops.buckets import bucket_length
 from msa_tpu.ops.nw_jax import _prep_pair, diag_sweep
 from msa_tpu.parallel.mesh import get_mesh
@@ -64,30 +62,6 @@ def sharded_pair_scores(
     tasks = pair_task_list(len(genes))
     P_dev = mesh.devices.size
 
-    Mp = max(bucket_length(len(g)) for g in genes)
-    Np = Mp
-    packed = [
-        _prep_pair(genes[t.i], genes[t.j], Mp, Np) for t in tasks
-    ]
-    num = len(packed)
-    padded_num = -(-num // P_dev) * P_dev
-    xpads = np.stack(
-        [p[0] for p in packed]
-        + [packed[0][0]] * (padded_num - num)
-    )
-    ybufs = np.stack(
-        [p[1] for p in packed]
-        + [packed[0][1]] * (padded_num - num)
-    )
-    ms = np.array(
-        [p[2] for p in packed] + [packed[0][2]] * (padded_num - num),
-        dtype=np.int32,
-    )
-    ns = np.array(
-        [p[3] for p in packed] + [packed[0][3]] * (padded_num - num),
-        dtype=np.int32,
-    )
-
     @jax.jit
     def run(xpads, ybufs, ms, ns):
         def shard_fn(xp, yb, m_, n_):
@@ -102,55 +76,126 @@ def sharded_pair_scores(
             check_vma=False,  # all_gather(tiled) output is replicated
         )(xpads, ybufs, ms, ns)
 
-    scores = run(
-        jnp.asarray(xpads), jnp.asarray(ybufs), jnp.asarray(ms),
-        jnp.asarray(ns),
+    # Group pairs by padded-shape bucket so nothing pads to the global max
+    # (on skewed workloads global-max padding more than doubles the cell
+    # count); one compiled program per distinct bucket.
+    by_bucket: dict = {}
+    for t in tasks:
+        Mp = bucket_length(max(len(genes[t.i]), len(genes[t.j])))
+        by_bucket.setdefault(Mp, []).append(t)
+
+    out = np.zeros(len(tasks), dtype=np.int64)
+    for Mp, ts in sorted(by_bucket.items()):
+        packed = [_prep_pair(genes[t.i], genes[t.j], Mp, Mp) for t in ts]
+        num = len(packed)
+        padded_num = -(-num // P_dev) * P_dev
+        pad = padded_num - num
+        xpads = np.stack([p[0] for p in packed] + [packed[0][0]] * pad)
+        ybufs = np.stack([p[1] for p in packed] + [packed[0][1]] * pad)
+        ms = np.array(
+            [p[2] for p in packed] + [packed[0][2]] * pad, dtype=np.int32
+        )
+        ns = np.array(
+            [p[3] for p in packed] + [packed[0][3]] * pad, dtype=np.int32
+        )
+        scores = run(
+            jnp.asarray(xpads), jnp.asarray(ybufs), jnp.asarray(ms),
+            jnp.asarray(ns),
+        )
+        for t, s in zip(ts, np.asarray(scores)[:num]):
+            out[t.task_id] = int(s)
+    return out
+
+
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Bring up the JAX distributed runtime for a multi-process run.
+
+    The TPU-native replacement for the reference's
+    ``MPI_Init_thread(MPI_THREAD_MULTIPLE)`` (``submit:38``): on real TPU
+    pods call with no arguments (cluster auto-detection); for CPU
+    multi-process runs (CI / local testing) pass coordinator address,
+    process count and id explicitly — cross-process CPU collectives ride
+    gloo over the coordination service.
+    """
+    # gloo must be selected before the CPU client is created — and probing
+    # the backend here would create it, so set it unconditionally (it only
+    # affects CPU client construction; TPU runs ignore it).
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
     )
-    return np.asarray(scores)[:num]
 
 
 def align_kway_sharded(
     problem: Problem,
     backend: str = "auto",
     keep_alignments: bool = False,
+    checkpoint: Optional[str] = None,
 ) -> KWayResult:
     """Multi-host k-way engine.
 
     Every process derives the same LPT schedule, aligns its own pair shard
-    on its local devices, then all processes exchange (penalty, hash)
-    results keyed by task id and fold the identical hash chain.
+    on its local devices (big pairs through the batched device pipeline —
+    the same path the single-chip engine uses), then all processes exchange
+    (penalty, hash) results keyed by task id and fold the identical hash
+    chain. Journals are per-process: a ``{proc}`` placeholder in the
+    checkpoint path is expanded with the process index.
     """
+    from msa_tpu.models.kway import KWayAligner
+    from msa_tpu.utils.logging import get_logger
+    from msa_tpu.utils.timing import StageTimer
+
     genes = problem.genes
     nproc = jax.process_count()
     pidx = jax.process_index()
+    log = get_logger("msa_tpu.engine")
+    timer = StageTimer()
+
+    if checkpoint:
+        checkpoint = checkpoint.replace("{proc}", str(pidx))
 
     if nproc == 1:
         # Single process: the k-way engine already batches big pairs into
         # one device call.
-        from msa_tpu.models.kway import KWayAligner
-
         return KWayAligner(
             problem.pxy, problem.pgap, backend=backend
-        ).align_all(genes, keep_alignments=keep_alignments)
+        ).align_all(
+            genes, keep_alignments=keep_alignments, checkpoint=checkpoint
+        )
 
-    shards = schedule_for(genes, nproc)
-    my_tasks = shards[pidx]
+    with timer.stage("schedule"):
+        shards = schedule_for(genes, nproc)
+        my_tasks = shards[pidx]
+    log.info(
+        "process %d/%d: %d of %d pairs (LPT)",
+        pidx, nproc, len(my_tasks), problem.num_pairs,
+    )
 
-    aligner = PairwiseAligner(problem.pxy, problem.pgap, backend=backend)
+    aligner = KWayAligner(problem.pxy, problem.pgap, backend=backend)
+    with timer.stage("align_shard"):
+        my_results = aligner.align_tasks(
+            genes, my_tasks, checkpoint=checkpoint
+        )
+
     total = problem.num_pairs
     penalties = np.full(total, -1, dtype=np.int64)
     hash_bytes = np.zeros((total, 128), dtype=np.uint8)
-    results = []
-    for t in my_tasks:
-        r = aligner.do_task(t.task_id, genes[t.i], genes[t.j])
-        penalties[t.task_id] = r.penalty
-        hash_bytes[t.task_id] = np.frombuffer(
+    for r in my_results:
+        penalties[r.task_id] = r.penalty
+        hash_bytes[r.task_id] = np.frombuffer(
             r.problem_hash.encode("ascii"), dtype=np.uint8
         )
-        if keep_alignments:
-            results.append(r)
 
-    if nproc > 1:
+    with timer.stage("allgather_merge"):
         from jax.experimental import multihost_utils
 
         # Max-merge: unassigned slots are -1 / 0, each task owned by exactly
@@ -162,12 +207,14 @@ def align_kway_sharded(
             multihost_utils.process_allgather(hash_bytes)
         ).max(axis=0)
 
-    pair_hashes = [
-        bytes(hash_bytes[tid]).decode("ascii") for tid in range(total)
-    ]
-    chain = chain_hashes(pair_hashes)
+    with timer.stage("hash_chain"):
+        pair_hashes = [
+            bytes(hash_bytes[tid]).decode("ascii") for tid in range(total)
+        ]
+        chain = chain_hashes(pair_hashes)
+    log.info("stage times:\n%s", timer.report())
     return KWayResult(
         chain_hash=chain,
         penalties=[int(p) for p in penalties],
-        pair_results=results if keep_alignments else None,
+        pair_results=my_results if keep_alignments else None,
     )
