@@ -345,7 +345,7 @@ def _pack_band_chars(x: str, rb: int, v_len: int) -> np.ndarray:
     return out.reshape(num_bands, LANES, R).transpose(0, 2, 1).copy()
 
 
-SNAP_K = 512  # snapshot stride for the traceback walk (see pallas_walk)
+SNAP_K = 1024  # snapshot stride for the traceback walk (must equal pallas_walk.K)
 
 
 def _band_geometry(m: int, n: int, rb: int, y_cap: int = 0,

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
 
 LANES = 128
-K = 512  # snapshot stride (diagonal steps per segment)
+K = 1024  # snapshot stride (diagonal steps per segment)
 KC = K // LANES
 # Recompute window width in lanes (multiple of 128). Contamination climbs
 # from the window base at one lane per step, so cell (t, q) is exact iff
