@@ -103,3 +103,34 @@ def test_schedule_policy_dispatch():
     all_lpt = sorted(t.task_id for s in lpt for t in s)
     all_blk = sorted(t.task_id for s in blk for t in s)
     assert all_lpt == all_blk == list(range(10))
+
+
+def test_wavefront_sharded_alignment_8_devices():
+    """Sharded fill + host windowed-recompute traceback, exact vs oracle."""
+    from msa_tpu.ops.nw_sp import nw_align_wavefront_sharded
+    from msa_tpu.ops.reference import nw_align_numpy
+    from msa_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh()
+    rng = np.random.default_rng(3)
+    for (m, n, pxy, pgap) in [(300, 280, 3, 2), (1100, 850, 5, 1)]:
+        x = "".join(rng.choice(list("ACGT"), m))
+        y = "".join(rng.choice(list("ACGT"), n))
+        got = nw_align_wavefront_sharded(
+            x, y, pxy, pgap, mesh, ckpt_every=128
+        )
+        assert got == nw_align_numpy(x, y, pxy, pgap)
+
+
+def test_wavefront_sharded_alignment_10k():
+    """>=10k-char pair: every device's lane chunk and halo actually carry
+    state; the full alignment (not just the score) survives sharding."""
+    from msa_tpu.ops.nw_sp import nw_align_wavefront_sharded
+    from msa_tpu.ops.reference import nw_align_numpy
+    from msa_tpu.parallel.mesh import get_mesh
+
+    rng = np.random.default_rng(9)
+    x = "".join(rng.choice(list("ACGT"), 11000))
+    y = "".join(rng.choice(list("ACGT"), 10500))
+    got = nw_align_wavefront_sharded(x, y, 3, 2, get_mesh(8))
+    assert got == nw_align_numpy(x, y, 3, 2)
