@@ -57,6 +57,13 @@ def main(argv=None) -> int:
         " multi-process runs where the environment pins a TPU platform"
         " in the live config before main() runs",
     )
+    parser.add_argument(
+        "--profile-dir",
+        default=None,
+        metavar="DIR",
+        help="emit a jax.profiler trace of the computation to DIR"
+        " (defaults to MSA_TPU_PROFILE_DIR / config.profile_dir)",
+    )
     args = parser.parse_args(argv)
 
     from msa_tpu.utils import jaxenv  # noqa: F401  (compile-cache setup)
@@ -81,19 +88,23 @@ def main(argv=None) -> int:
     else:
         problem = parse_input(sys.stdin)
 
+    from msa_tpu.config import DEFAULT
+    from msa_tpu.utils.timing import profile
+
     start = time.time_ns() // 1000
-    if args.batched or args.distributed:
-        from msa_tpu.parallel.engine import align_kway_sharded
+    with profile(args.profile_dir or DEFAULT.profile_dir):
+        if args.batched or args.distributed:
+            from msa_tpu.parallel.engine import align_kway_sharded
 
-        result = align_kway_sharded(
-            problem, backend=args.backend, checkpoint=args.checkpoint
-        )
-    else:
-        from msa_tpu.models.kway import align_kway
+            result = align_kway_sharded(
+                problem, backend=args.backend, checkpoint=args.checkpoint
+            )
+        else:
+            from msa_tpu.models.kway import align_kway
 
-        result = align_kway(
-            problem, backend=args.backend, checkpoint=args.checkpoint
-        )
+            result = align_kway(
+                problem, backend=args.backend, checkpoint=args.checkpoint
+            )
     elapsed = time.time_ns() // 1000 - start
 
     # Every process computes the identical result; only process 0 owns

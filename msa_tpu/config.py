@@ -1,10 +1,13 @@
-"""Configuration system.
+"""Configuration system — the single source of kernel/engine tunables.
 
 The reference had no flags at all — its config surfaces were compile-time
 constants (``n_threads = 16`` at ``submit/xuliny-seqalkway.cpp:94``, the
 ``*8`` tile fudge at ``submit:452``) and Slurm environment (SURVEY.md §5).
-Here every tunable is an explicit dataclass field, overridable from the CLI
-and from environment variables prefixed ``MSA_TPU_``.
+Here every tunable is an explicit dataclass field, overridable from
+environment variables prefixed ``MSA_TPU_`` *before first import of the
+kernel modules* (the kernels read ``DEFAULT`` at import time: these values
+size compiled programs, so they are process-lifetime constants just like
+the reference's, but with one declared home and an env override).
 """
 
 from __future__ import annotations
@@ -18,20 +21,29 @@ from typing import Optional
 class EngineConfig:
     # Pairwise backend: numpy | native | jax | pallas | auto
     backend: str = "auto"
-    # Fill-kernel band height for the score-only path (lanes per step).
-    score_rb: int = 32768
-    # Band height for the alignment path (v_len pinned to 16384 there).
-    align_rb: int = 16256
+    # Fill band height for the score-only path (shrunk to the sequence).
+    score_rb: int = 8192
+    # Fill band height for the alignment path. Fixed per process so every
+    # pair shares one compiled kernel; v_len = round_up(rb_align+1, 128*128).
+    # 32640 measured best on big13 (16256: less ramp waste but more steps at
+    # a fixed per-step cost -> slower; see ops/pallas_walk.py).
+    rb_align: int = 32640
+    # Snapshot stride of the fill == traceback segment length of the walk
+    # (they seed each other, so one knob). 1024 measured best (512: 2x the
+    # walk's per-slot fixed overhead; see docs/PERF.md).
+    snap_k: int = 1024
+    # Pairs per walk launch, riding the VPU sublane dim. 8 measured best
+    # (16: 91.5 vs 93.2 GCUPS at the time of measurement).
+    p_group: int = 8
     # Below this m*n, pairs run on the jnp full-dirs path instead of the
     # banded Pallas fill + walk.
     small_threshold: int = 1 << 21
     # Bucket quantum for padded shapes (bounds recompilation).
     bucket_quantum: int = 256
-    # Max supported sequence length (shapes are capped to this).
+    # Max supported sequence length (the spec's ~100k, Project2B.pdf p.5);
+    # sizes the compiled band grid (X_CAP / Y_CAP).
     max_seq_len: int = 100_352
-    # Mesh axis sizes; None = all local devices on one axis.
-    mesh_pairs: Optional[int] = None
-    # Emit jax profiler traces to this directory when set.
+    # Emit jax.profiler traces to this directory when set.
     profile_dir: Optional[str] = None
 
     @classmethod
@@ -40,9 +52,11 @@ class EngineConfig:
         for f in dataclasses.fields(cls):
             env = os.environ.get(f"MSA_TPU_{f.name.upper()}")
             if env is not None:
-                val = env if f.type == "str" else int(env)
-                setattr(cfg, f.name, val)
+                cur = getattr(cfg, f.name)
+                setattr(
+                    cfg, f.name, int(env) if isinstance(cur, int) else env
+                )
         return cfg
 
 
-DEFAULT = EngineConfig()
+DEFAULT = EngineConfig.from_env()

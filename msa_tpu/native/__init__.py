@@ -12,5 +12,4 @@ from msa_tpu.native.lib import (  # noqa: F401
     native_available,
     nw_align_native,
     nw_score_native,
-    walk_dirs_native,
 )

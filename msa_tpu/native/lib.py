@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -65,15 +65,6 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_char_p,  # out align2 buffer
         ctypes.POINTER(ctypes.c_int),  # out aligned length
     ]
-    lib.walk_dirs.restype = ctypes.c_int
-    lib.walk_dirs.argtypes = [
-        ctypes.c_char_p,  # dirs (m*n int8)
-        ctypes.c_int,  # m
-        ctypes.c_int,  # n
-        ctypes.c_char_p,  # out moves buffer (m+n)
-        ctypes.POINTER(ctypes.c_int),  # out i0
-        ctypes.POINTER(ctypes.c_int),  # out j0
-    ]
 
 
 def native_available() -> bool:
@@ -114,20 +105,3 @@ def nw_align_native(
         buf2.raw[:la].decode("latin-1"),
     )
 
-
-def walk_dirs_native(dirs, m: int, n: int) -> Optional[List[int]]:
-    """Walk an (m, n) int8 move matrix in C++; None if lib unavailable."""
-    lib = _load()
-    if lib is None:
-        return None
-    import numpy as np
-
-    d = np.ascontiguousarray(dirs, dtype=np.int8)
-    moves = ctypes.create_string_buffer(m + n)
-    i0 = ctypes.c_int(0)
-    j0 = ctypes.c_int(0)
-    count = lib.walk_dirs(
-        d.ctypes.data_as(ctypes.c_char_p), m, n, moves,
-        ctypes.byref(i0), ctypes.byref(j0),
-    )
-    return list(moves.raw[:count])

@@ -7,8 +7,6 @@
 //    min-of-three recurrence with unconditional diagonal on match, traceback
 //    tie-break match -> diag -> up -> left, greedy prefix completion, both-
 //    gap trim) with a cache-blocked fill and O(m+n) final strings.
-//  - walk_dirs: traceback walker over a precomputed move matrix (the host
-//    half of the device traceback path).
 //
 // Exposed with C linkage for ctypes (no pybind11 in this environment).
 
@@ -95,79 +93,65 @@ int nw_align(const char* x, int m, const char* y, int n, int pxy, int pgap,
   size_t w = static_cast<size_t>(n) + 1;
   int penalty = dp[static_cast<size_t>(m) * w + n];
 
-  int l = m + n;
-  std::vector<char> xans(l + 1), yans(l + 1);
-  int i = m, j = n;
-  int xpos = l, ypos = l;
-  while (!(i == 0 || j == 0)) {
-    int32_t curv = dp[static_cast<size_t>(i) * w + j];
-    if (x[i - 1] == y[j - 1]) {
-      xans[xpos--] = x[i - 1];
-      yans[ypos--] = y[j - 1];
-      --i; --j;
-    } else if (dp[(static_cast<size_t>(i) - 1) * w + (j - 1)] + pxy == curv) {
-      xans[xpos--] = x[i - 1];
-      yans[ypos--] = y[j - 1];
-      --i; --j;
-    } else if (dp[(static_cast<size_t>(i) - 1) * w + j] + pgap == curv) {
-      xans[xpos--] = x[i - 1];
-      yans[ypos--] = '_';
-      --i;
-    } else {  // dp[i][j-1] + pgap == curv
-      xans[xpos--] = '_';
-      yans[ypos--] = y[j - 1];
-      --j;
+  // Traceback as a backward MOVE sequence (the same moves contract every
+  // backend in this framework shares — see utils/alignment.py): from
+  // (m, n), pick match > diag > up > left by comparing the stored values.
+  std::vector<int8_t> steps;
+  steps.reserve(m + n);
+  int r = m, c = n;
+  while (r != 0 && c != 0) {
+    const int32_t here = dp[static_cast<size_t>(r) * w + c];
+    int8_t mv;
+    if (x[r - 1] == y[c - 1]) {
+      mv = DIAG_MATCH;
+    } else if (dp[(static_cast<size_t>(r) - 1) * w + (c - 1)] + pxy == here) {
+      mv = DIAG_SUB;
+    } else if (dp[(static_cast<size_t>(r) - 1) * w + c] + pgap == here) {
+      mv = UP;
+    } else {  // dp[r][c-1] + pgap == here
+      mv = LEFT;
     }
-  }
-  while (xpos > 0) {
-    if (i > 0) xans[xpos--] = x[--i];
-    else xans[xpos--] = '_';
-  }
-  while (ypos > 0) {
-    if (j > 0) yans[ypos--] = y[--j];
-    else yans[ypos--] = '_';
+    steps.push_back(mv);
+    if (mv <= DIAG_SUB) {
+      --r; --c;
+    } else if (mv == UP) {
+      --r;
+    } else {
+      --c;
+    }
   }
   std::free(dp);
 
-  int id = 1;
-  for (int a = l; a >= 1; --a) {
-    if (xans[a] == '_' && yans[a] == '_') {
-      id = a + 1;
+  // finish_alignment (utils/alignment.py): the walked tail, preceded by the
+  // unconsumed prefix right-aligned into l = m+n slots with '_' padding,
+  // then trimmed after the last both-gap column.
+  const int l = m + n;
+  const int tail = static_cast<int>(steps.size());
+  const int pos = l - tail;  // slots left of the walked tail
+  std::vector<char> row1(l), row2(l);
+  for (int a = 0; a < pos - r; ++a) row1[a] = '_';
+  for (int a = 0; a < r; ++a) row1[pos - r + a] = x[a];
+  for (int a = 0; a < pos - c; ++a) row2[a] = '_';
+  for (int a = 0; a < c; ++a) row2[pos - c + a] = y[a];
+  int ri = r, ci = c;
+  for (int a = tail - 1; a >= 0; --a) {  // moves are backward; emit forward
+    const int8_t mv = steps[a];
+    const int slot = pos + (tail - 1 - a);
+    row1[slot] = (mv == LEFT) ? '_' : x[ri++];
+    row2[slot] = (mv == UP) ? '_' : y[ci++];
+  }
+  int cut = 0;  // chars to drop: through the last both-gap column
+  for (int a = l - 1; a >= 0; --a) {
+    if (row1[a] == '_' && row2[a] == '_') {
+      cut = a + 1;
       break;
     }
   }
-  int out = 0;
-  for (int a = id; a <= l; ++a) {
-    out1[out] = xans[a];
-    out2[out] = yans[a];
-    ++out;
-  }
+  const int out = l - cut;
+  std::memcpy(out1, row1.data() + cut, out);
+  std::memcpy(out2, row2.data() + cut, out);
   *out_len = out;
   return penalty;
-}
-
-// Walk an (m x n) move matrix from (m, n) until a border; moves_out receives
-// the backward move sequence (values 0..3), return value is its length.
-// *i0/*j0 receive the stop position.
-int walk_dirs(const char* dirs, int m, int n, char* moves_out, int* i0,
-              int* j0) {
-  int i = m, j = n;
-  int count = 0;
-  while (i != 0 && j != 0) {
-    int8_t mv = static_cast<int8_t>(
-        dirs[(static_cast<size_t>(i) - 1) * n + (j - 1)]);
-    moves_out[count++] = static_cast<char>(mv);
-    if (mv == DIAG_MATCH || mv == DIAG_SUB) {
-      --i; --j;
-    } else if (mv == UP) {
-      --i;
-    } else {
-      --j;
-    }
-  }
-  *i0 = i;
-  *j0 = j;
-  return count;
 }
 
 }  // extern "C"

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from msa_tpu.config import DEFAULT
 from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
 from msa_tpu.ops.pallas_nw import (
     SNAP_K,
@@ -47,7 +48,7 @@ from msa_tpu.ops.pallas_walk import (
 )
 from msa_tpu.utils.alignment import moves_to_alignment
 
-P_GROUP = 8  # pairs per walk launch = the VPU sublane count (16 measured slower: 91.5 vs 93.2 GCUPS)
+P_GROUP = DEFAULT.p_group  # pairs per walk launch (see config)
 
 
 def _static_geometry():

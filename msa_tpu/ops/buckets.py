@@ -13,11 +13,13 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from msa_tpu.config import DEFAULT
+
 X_SENTINEL = -1
 Y_SENTINEL = -2
 
 
-def bucket_length(n: int, quantum: int = 256) -> int:
+def bucket_length(n: int, quantum: int = DEFAULT.bucket_quantum) -> int:
     """Round up to the bucket grid: quantum granularity, power-of-two-ish.
 
     Uses 2 significant bits (1.0x/1.25x/1.5x/1.75x powers of two) so padding
@@ -46,7 +48,8 @@ def encode_padded(seq: str, length: int, sentinel: int) -> np.ndarray:
 
 
 def group_by_bucket(
-    lengths: Sequence[Tuple[int, int]], quantum: int = 256
+    lengths: Sequence[Tuple[int, int]],
+    quantum: int = DEFAULT.bucket_quantum,
 ) -> Dict[Tuple[int, int], List[int]]:
     """Map (bucket_m, bucket_n) -> list of task indices."""
     groups: Dict[Tuple[int, int], List[int]] = {}

@@ -5,8 +5,9 @@ TPU-first re-design of the reference's OpenMP wavefront kernel
 threads, one ``lax.scan`` walks the m+n anti-diagonals; each step is a
 vectorized VPU update over a whole diagonal. Memory is O(min-side) for
 scores; the dirs matrix (for traceback) is emitted per-diagonal and
-reassembled, or checkpoint diagonals are emitted every K steps for the
-banded traceback used on big pairs (``msa_tpu.ops.traceback``).
+reassembled. Big pairs use the banded Pallas fill + walk
+(``msa_tpu.ops.pallas_walk``) instead; sharded checkpoint emission for
+giant pairs lives in ``msa_tpu.ops.nw_sp``.
 
 Shapes are static (bucket-padded); actual lengths ``m, n`` ride in as traced
 scalars, so one compiled program serves a whole shape bucket.
@@ -97,7 +98,7 @@ def _diag_step(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("emit_dirs", "ckpt_every", "unroll")
+    jax.jit, static_argnames=("emit_dirs", "unroll")
 )
 def diag_sweep(
     xpad: jnp.ndarray,  # (Mp+1,) int32; xpad[i] = code(x[i-1]), xpad[0] sentinel
@@ -108,16 +109,13 @@ def diag_sweep(
     pgap: jnp.ndarray,
     *,
     emit_dirs: bool = False,
-    ckpt_every: int = 0,
     unroll: int = 1,
 ):
-    """Run the full sweep. Returns (score, dirs_diag, checkpoints).
+    """Run the full sweep. Returns (score, dirs_diag, None).
 
     - score: dp[m][n] (int32 scalar)
     - dirs_diag: (D, V) int8 with dirs_diag[d-1, i] = move of cell (i, d-i),
       or None
-    - checkpoints: (D // ckpt_every + 1, 2, V) int32 pairs of diagonals
-      (prev2, prev1) captured before step s*ckpt_every, or None
     """
     V = xpad.shape[0]  # Mp + 1
     Np = ybuf.shape[0] - 2 * V - 1
@@ -149,33 +147,6 @@ def diag_sweep(
         return (prev1, cur), (out, jnp.where(d == m + n, cur[m], 0))
 
     ds = jnp.arange(1, D + 1, dtype=jnp.int32)
-
-    if ckpt_every:
-        # Emit the carry (two diagonals) every ckpt_every steps by scanning
-        # in chunks. D must be a multiple of ckpt_every (pad bucket shapes
-        # accordingly at the call site).
-        num_chunks = D // ckpt_every
-
-        def chunk(carry, chunk_idx):
-            ck = jnp.stack(carry)  # (2, V) snapshot before this chunk
-
-            def inner(c, d):
-                prev2, prev1 = c
-                cur, _ = _diag_step(
-                    d, prev1, prev2, xpad, ybuf, m, n, pxy, pgap, ii, y_off
-                )
-                return (prev1, cur), jnp.where(d == m + n, cur[m], 0)
-
-            d0 = 1 + chunk_idx * ckpt_every
-            dsc = d0 + jnp.arange(ckpt_every, dtype=jnp.int32)
-            c2, scores = jax.lax.scan(inner, carry, dsc, unroll=unroll)
-            return c2, (ck, jnp.max(scores))
-
-        state2, (ckpts, scores) = jax.lax.scan(
-            chunk, state, jnp.arange(num_chunks, dtype=jnp.int32)
-        )
-        score = jnp.max(scores)
-        return score, None, ckpts
 
     _, (dirs_all, scores) = jax.lax.scan(step, state, ds, unroll=unroll)
     score = jnp.max(scores)
@@ -218,8 +189,8 @@ def nw_score_jax(x: str, y: str, pxy: int, pgap: int) -> int:
 def nw_align_jax(x: str, y: str, pxy: int, pgap: int) -> Tuple[int, str, str]:
     """Penalty + alignment via full per-diagonal dirs (small/medium pairs).
 
-    Memory: (Mp+Np) x (Mp+1) int8 — use the banded traceback
-    (``msa_tpu.ops.traceback``) for big pairs instead.
+    Memory: (Mp+Np) x (Mp+1) int8 — big pairs use the banded Pallas
+    fill + walk (``msa_tpu.ops.pallas_walk``) instead.
     """
     from msa_tpu.utils.alignment import moves_to_alignment
 

@@ -45,6 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from msa_tpu.config import DEFAULT
 from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
 
 NEG_FILL = 2**30  # "+inf"-ish filler (plain int: jnp scalars would be
@@ -345,7 +346,7 @@ def _pack_band_chars(x: str, rb: int, v_len: int) -> np.ndarray:
     return out.reshape(num_bands, LANES, R).transpose(0, 2, 1).copy()
 
 
-SNAP_K = 1024  # snapshot stride for the traceback walk (must equal pallas_walk.K)
+SNAP_K = DEFAULT.snap_k  # snapshot stride == walk segment K (one knob)
 
 
 def _band_geometry(m: int, n: int, rb: int, y_cap: int = 0,
@@ -414,7 +415,7 @@ def nw_score_pallas(
     y: str,
     pxy: int,
     pgap: int,
-    rb: int = 8192,
+    rb: int = DEFAULT.score_rb,
     interpret: bool = False,
     unroll: int = 128,
 ) -> int:

@@ -35,10 +35,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from msa_tpu.config import DEFAULT
 from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
 
 LANES = 128
-K = 1024  # snapshot stride (diagonal steps per segment)
+K = DEFAULT.snap_k  # snapshot stride (diagonal steps per segment)
 KC = K // LANES
 # Recompute window width in lanes (multiple of 128). Contamination climbs
 # from the window base at one lane per step, so cell (t, q) is exact iff
@@ -504,7 +505,8 @@ def walk_slot_budget(dl_max: int, num_bands: int) -> int:
     return dl_max // K + 2 * num_bands + 4
 
 
-RB_ALIGN = 32640  # v_len = 32768 -> R = 256 (multiple of 128: aligned
+RB_ALIGN = DEFAULT.rb_align
+                  # v_len = 32768 -> R = 256 (multiple of 128: aligned
                   # snapshot slices). Smaller bands raise lane *efficiency*
                   # (less ramp padding: 56% -> 72% at rb=16256 on big13) but
                   # LOSE wall-clock: the fill step has a fixed per-step cost
@@ -512,9 +514,9 @@ RB_ALIGN = 32640  # v_len = 32768 -> R = 256 (multiple of 128: aligned
                   # halving the band width does not halve, so 57% more steps
                   # at half width nets out slower — measured 70.7 vs 82.7
                   # GCUPS e2e (r2). rb=32640 is the sweet spot.
-Y_CAP = 100352  # spec max sequence length (~100k, docs/Project2B.pdf p.5)
-X_CAP = 100352  # band-grid cap: ceil(X_CAP/RB_ALIGN) = 4 bands compiled
-SMALL_THRESHOLD = 1 << 21  # below this m*n, the jnp full-dirs path wins
+Y_CAP = DEFAULT.max_seq_len  # spec max length (~100k, Project2B.pdf p.5)
+X_CAP = DEFAULT.max_seq_len  # band-grid cap: ceil(X_CAP/RB_ALIGN) bands
+SMALL_THRESHOLD = DEFAULT.small_threshold  # below: jnp full-dirs path wins
 
 
 def nw_align_pallas(

@@ -13,7 +13,7 @@ from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def get_mesh(
@@ -24,11 +24,3 @@ def get_mesh(
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 
-
-def pair_sharding(mesh: Mesh, axis_name: str = "pairs") -> NamedSharding:
-    """Leading-axis sharding for stacked per-pair arrays."""
-    return NamedSharding(mesh, P(axis_name))
-
-
-def replicated(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P())

@@ -27,6 +27,28 @@ def pair_costs(genes: Sequence[str]) -> List[Tuple[PairTask, int]]:
     ]
 
 
+def pair_costs_calibrated(
+    genes: Sequence[str], model=None
+) -> List[Tuple[PairTask, float]]:
+    """(task, cost) with a measured wall-clock model (the reference's S5).
+
+    ``testing11/test.cpp:150-267`` hard-coded a table of measured
+    microseconds per (m, n); ``msa_tpu.parallel.costmodel.CalibratedCost``
+    replaces the table with throughput + fixed-overhead terms, optionally
+    measured on the local device (``costmodel.calibrate``). Captures what
+    cost = m*n cannot: per-pair fixed overhead makes many small pairs
+    costlier than their cell count suggests.
+    """
+    from msa_tpu.parallel.costmodel import CalibratedCost
+
+    if model is None:
+        model = CalibratedCost()
+    return [
+        (t, model.cost_us(len(genes[t.i]), len(genes[t.j])))
+        for t in pair_task_list(len(genes))
+    ]
+
+
 def lpt_schedule(
     costs: Sequence[Tuple[PairTask, int]], num_shards: int
 ) -> List[List[PairTask]]:
@@ -72,11 +94,24 @@ def block_schedule(
 
 
 def schedule_for(
-    genes: Sequence[str], num_shards: int, policy: str = "lpt"
+    genes: Sequence[str],
+    num_shards: int,
+    policy: str = "lpt",
+    cost_model=None,
 ) -> List[List[PairTask]]:
-    """Deterministic pair schedule; policy = "lpt" (default) or "block"."""
+    """Deterministic pair schedule.
+
+    policy = "lpt" (default, cost = m*n), "calibrated" (LPT over measured
+    wall-clock cost — pass a ``costmodel.CalibratedCost`` for determinism
+    across processes, every process must use identical parameters), or
+    "block" (the reference's S1 layout).
+    """
     if policy == "lpt":
         return lpt_schedule(pair_costs(genes), num_shards)
+    if policy == "calibrated":
+        return lpt_schedule(
+            pair_costs_calibrated(genes, cost_model), num_shards
+        )
     if policy == "block":
         return block_schedule(pair_task_list(len(genes)), num_shards)
     raise ValueError(f"unknown schedule policy {policy!r}")

@@ -158,3 +158,19 @@ def test_dirs_walk_roundtrip():
     moves = walk_dirs(dirs, len(x), len(y))
     a1, a2 = moves_to_alignment(x, y, moves)
     assert (int(dp[-1, -1]), a1, a2) == brute_align(x, y, 3, 2)
+
+
+def test_native_score_matches_numpy():
+    from msa_tpu.native import native_available, nw_score_native
+    from msa_tpu.ops.reference import nw_score_numpy
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    import random
+
+    rng = random.Random(5)
+    for _ in range(6):
+        m, n = rng.randint(0, 80), rng.randint(1, 90)
+        x = "".join(rng.choice("ACGT") for _ in range(m))
+        y = "".join(rng.choice("ACGT") for _ in range(n))
+        assert nw_score_native(x, y, 3, 2) == nw_score_numpy(x, y, 3, 2)

@@ -134,3 +134,30 @@ def test_wavefront_sharded_alignment_10k():
     y = "".join(rng.choice(list("ACGT"), 10500))
     got = nw_align_wavefront_sharded(x, y, 3, 2, get_mesh(8))
     assert got == nw_align_numpy(x, y, 3, 2)
+
+
+def test_calibrated_schedule_policy():
+    """S5 parity: LPT over a measured wall-clock cost model (testing11)."""
+    from msa_tpu.parallel.costmodel import CalibratedCost
+    from msa_tpu.parallel.schedule import pair_costs_calibrated
+
+    genes = ["A" * 2000, "C" * 2000, "G" * 10, "T" * 10, "AC" * 5]
+    model = CalibratedCost(gcups=50.0, fixed_us=100_000.0)
+    # Deterministic and complete.
+    s1 = schedule_for(genes, 3, policy="calibrated", cost_model=model)
+    s2 = schedule_for(genes, 3, policy="calibrated", cost_model=model)
+    assert s1 == s2
+    all_ids = sorted(t.task_id for shard in s1 for t in shard)
+    assert all_ids == [t.task_id for t in pair_task_list(len(genes))]
+    # The fixed term makes tiny pairs non-free: with 10 pairs and a fixed
+    # cost dominating 8 of them, no shard may hoard all the tiny pairs while
+    # another idles (pure m*n LPT would put ALL 8 tiny pairs on one shard).
+    loads = [
+        sum(model.cost_us(len(genes[t.i]), len(genes[t.j])) for t in s)
+        for s in s1
+    ]
+    assert max(loads) <= 2 * min(loads) + model.fixed_us
+    costs = dict(
+        (t.task_id, c) for t, c in pair_costs_calibrated(genes, model)
+    )
+    assert costs[0] == model.cost_us(2000, 2000)
