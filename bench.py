@@ -17,7 +17,11 @@ sys.path.insert(0, "/root/repo")
 
 from msa_tpu.utils import jaxenv  # noqa: F401  (compile cache setup)
 
-GOLDEN_PREFIX = "c0befee8737ac74a"
+# Full golden output recorded by the reference
+# (testing15/12node-16-cpt-1-npn-snowy.out:2-3): the ENTIRE 128-hex chain
+# hash and all 78 penalties gate the timing, not just a prefix.
+GOLDEN_HASH = "c0befee8737ac74a1ece5abae5cca722c2eaf2bf028aaca8f3f6607204b7e68ea0707a881d5512a723439ab67007e5301a9c126272a3ff2ad96923b0dcf27dab"
+GOLDEN_PENALTIES = [int(v) for v in """31202 48016 25007 56880 53193 37279 52116 30000 32754 48092 60756 61018 60977 48923 33238 66240 50320 59270 40544 49432 35042 78083 68543 50000 49163 48080 20000 44441 86911 70000 67514 57881 40000 46264 26560 27675 95621 87344 76149 60000 62871 53120 38797 41672 27581 104197 94673 80000 75191 65682 56240 51869 42800 40810 29031 112962 100000 90000 83981 74245 64669 54941 45332 35586 33228 33143 120000 110000 102209 92694 80000 75951 60000 57329 40000 38890 30859 15323 """.split()]
 BASELINE_GCUPS = 17.77  # 2.785e11 cells / 15.672995 s / 1e9
 
 
@@ -39,7 +43,7 @@ def main():
     # Warmup pass: populates the (persistent) compile cache; also the
     # correctness gate — the hash must match the reference's golden output.
     result = align_kway(problem, backend="pallas")
-    if not result.chain_hash.startswith(GOLDEN_PREFIX):
+    if result.chain_hash != GOLDEN_HASH or result.penalties != GOLDEN_PENALTIES:
         print(
             json.dumps(
                 {
@@ -47,7 +51,7 @@ def main():
                     "value": 0.0,
                     "unit": "GCUPS",
                     "vs_baseline": 0.0,
-                    "error": "hash mismatch vs golden",
+                    "error": "hash/penalties mismatch vs golden",
                 }
             )
         )

@@ -1,0 +1,99 @@
+"""Mesh scaling curve: pairs/s and schedule balance from 1 to N devices.
+
+Measures (a) the sharded all-pairs score engine's throughput on virtual CPU
+meshes of growing size and (b) the LPT-vs-block schedule imbalance on a
+pod-scale synthetic workload — the analog of the reference's node-count
+sweep (``testing15/run.slurm``; its 4/8/12-node walltimes are BASELINE.md's
+scaling rows). Run on CPU (virtual devices):
+
+    JAX_PLATFORMS=cpu python scripts/scaling_curve.py --devices 8 --k 64
+
+Results append to scaling_curve.jsonl.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--min-len", type=int, default=64)
+    ap.add_argument("--max-len", type=int, default=512)
+    ap.add_argument("--pod-k", type=int, default=256, help="schedule-only k")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="scaling_curve.jsonl")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", args.devices)
+    import numpy as np
+
+    from msa_tpu.parallel.engine import sharded_pair_scores
+    from msa_tpu.parallel.mesh import get_mesh
+    from msa_tpu.parallel.schedule import pair_costs, schedule_for
+    from msa_tpu.utils.tasks import num_pairs
+
+    rng = np.random.default_rng(1)
+    genes = [
+        "".join(rng.choice(list("ACGT"), rng.integers(args.min_len,
+                                                      args.max_len)))
+        for _ in range(args.k)
+    ]
+    total = num_pairs(args.k)
+    records = []
+
+    # (a) measured pairs/s on growing meshes (compute sharded over devices).
+    for nd in [d for d in (1, 2, 4, 8, 16) if d <= args.devices]:
+        mesh = get_mesh(nd)
+        sharded_pair_scores(genes, 3, 2, mesh=mesh)  # compile + warm
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.time()
+            sharded_pair_scores(genes, 3, 2, mesh=mesh)
+            best = min(best, time.time() - t0)
+        rec = {
+            "metric": "sharded_scores",
+            "devices": nd,
+            "pairs": total,
+            "walltime_s": round(best, 4),
+            "pairs_per_s": round(total / best, 1),
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # (b) schedule balance at pod scale (pure host math; k=256 -> 32640
+    # pairs): max/mean shard load for LPT vs block, 1..N shards.
+    rng = np.random.default_rng(2)
+    pod_lens = np.exp(rng.uniform(np.log(1000), np.log(30000),
+                                  size=args.pod_k)).astype(int)
+    pod_genes = ["A" * int(n) for n in pod_lens]
+    costs = {t.task_id: c for t, c in pair_costs(pod_genes)}
+    for nd in (2, 4, 8, 16, 32):
+        for policy in ("lpt", "block"):
+            shards = schedule_for(pod_genes, nd, policy=policy)
+            loads = [sum(costs[t.task_id] for t in s) for s in shards]
+            rec = {
+                "metric": "schedule_balance",
+                "policy": policy,
+                "shards": nd,
+                "pod_k": args.pod_k,
+                "imbalance": round(max(loads) / (sum(loads) / nd), 4),
+            }
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    with open(args.out, "a") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,56 @@ sys.path.insert(0, "/root/repo")
 from msa_tpu.utils import jaxenv  # noqa: F401
 
 
+def e2e_sweep(args):
+    """End-to-end pipeline knob sweep (snap_k x p_group x rb_align).
+
+    The kernels read tunables from ``msa_tpu.config`` at import, so each
+    configuration runs in a fresh subprocess with MSA_TPU_* overrides —
+    the analog of one sbatch line in the reference's matrix. Each config
+    reports the hash-gated big13 GCUPS from bench.py.
+    """
+    import itertools
+    import os
+    import subprocess
+
+    grid = list(itertools.product(
+        [int(v) for v in args.snap_ks.split(",")],
+        [int(v) for v in args.p_groups.split(",")],
+        [int(v) for v in args.rb_aligns.split(",")],
+    ))
+    records = []
+    for snap_k, p_group, rb_align in grid:
+        env = dict(os.environ)
+        env["MSA_TPU_SNAP_K"] = str(snap_k)
+        env["MSA_TPU_P_GROUP"] = str(p_group)
+        env["MSA_TPU_RB_ALIGN"] = str(rb_align)
+        reps = []
+        for _ in range(args.reps):
+            out = subprocess.run(
+                [sys.executable, "/root/repo/bench.py"],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout else "{}"
+            try:
+                reps.append(json.loads(line))
+            except json.JSONDecodeError:
+                reps.append({"error": out.stderr[-500:]})
+        vals = [r.get("value", 0.0) for r in reps]
+        rec = {
+            "kernel": "e2e_big13",
+            "snap_k": snap_k,
+            "p_group": p_group,
+            "rb_align": rb_align,
+            "gcups_reps": vals,
+            "gcups_best": max(vals) if vals else 0.0,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    with open(args.out, "a") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--m", type=int, default=90000)
@@ -25,7 +75,16 @@ def main():
     )
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--out", default="bench_sweep.jsonl")
+    parser.add_argument(
+        "--e2e", action="store_true",
+        help="sweep pipeline knobs via env-configured subprocesses",
+    )
+    parser.add_argument("--snap-ks", default="512,1024")
+    parser.add_argument("--p-groups", default="4,8,16")
+    parser.add_argument("--rb-aligns", default="32640")
     args = parser.parse_args()
+    if args.e2e:
+        return e2e_sweep(args)
 
     import numpy as np
 
