@@ -77,10 +77,11 @@ def _align_group_device(gene_table, group_params, *, interpret=False):
 
     gene_table: (k, Xp) int8, row g = gene codes in shifted layout
                 (table[g, t] = code(gene[t-1]), sentinel elsewhere).
-    group_params: (P_GROUP, 24) int32 rows:
+    group_params: (P_GROUP, 32) int32 rows:
         [0:8]  fill params  (m, n, pxy, pgap, q_last, real_nb, 0, 0)
-        [8:16] walk params  (m, n, pxy, pgap, yoff, p1, 0, 0)
-        [16]   x gene index, [17] y gene index, [18] rev_shift
+        [8:24] walk params  (m, n, pxy, pgap, yoff, p1, 0, 0, snap-base
+               table [16:20], row-slot table [20:24] — see _walk_call)
+        [24]   x gene index, [25] y gene index, [26] rev_shift
     """
     (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len,
      yrev_len) = _static_geometry()
@@ -89,9 +90,9 @@ def _align_group_device(gene_table, group_params, *, interpret=False):
 
     def fill_one(carry, pp):
         params_fill = pp[0:8]
-        xi = pp[16]
-        yi = pp[17]
-        rev_shift = pp[18]
+        xi = pp[24]
+        yi = pp[25]
+        rev_shift = pp[26]
         pgap = pp[3]
 
         xshift8 = jax.lax.dynamic_index_in_dim(
@@ -127,7 +128,7 @@ def _align_group_device(gene_table, group_params, *, interpret=False):
         )
         return carry, (
             score[0, 0], rows_all, snaps_flat,
-            xs32[0], yfw[0], yrev[0], pp[8:16],
+            xs32[0], yfw[0], yrev[0], pp[8:24],
         )
 
     _, (scores, rows_s, snaps_s, xs_s, yfw_s, yrev_s, wparams) = (
@@ -195,22 +196,28 @@ def align_pairs_batched(
     # Pad the batch with the cheapest pair, not pairs[0] (which for sorted
     # workloads is often the most expensive one).
     pad_pair = min(pairs, key=lambda ij: len(genes[ij[0]]) * len(genes[ij[1]]))
-    rows = np.zeros((p_pad, 24), dtype=np.int32)
+    rows = np.zeros((p_pad, 32), dtype=np.int32)
     for slot in range(p_pad):
         i, j = pairs[order[slot]] if slot < num else pad_pair
         m, n = len(genes[i]), len(genes[j])
         real_nb = max(1, -(-m // rb))
         q_last = m - (real_nb - 1) * rb
         P0 = (-n) % LANES
+        p_in_group = slot % P_GROUP
         rows[slot, 0:8] = [m, n, pxy, pgap, q_last, real_nb, 0, 0]
         rows[slot, 8:16] = [m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0]
-        rows[slot, 16] = i
-        rows[slot, 17] = j
-        rows[slot, 18] = P1 + P0 + n - Y_CAP
+        for b in range(min(num_bands, 4)):
+            # per-group snaps stacking: pair p's band b segment s sits at
+            # snaps row 3*((p*nb + b)*s_max + s)
+            rows[slot, 16 + b] = (p_in_group * num_bands + b) * s_max
+            rows[slot, 20 + b] = p_in_group * num_bands + b
+        rows[slot, 24] = i
+        rows[slot, 25] = j
+        rows[slot, 26] = P1 + P0 + n - Y_CAP
 
     n_groups = p_pad // P_GROUP
     table_dev = jnp.asarray(table)
-    gpp = jnp.asarray(rows).reshape(n_groups, P_GROUP, 24)
+    gpp = jnp.asarray(rows).reshape(n_groups, P_GROUP, 32)
     # Enqueue every group's program up front (JAX dispatch is async): the
     # device streams group after group while the host decodes finished ones.
     futs = [

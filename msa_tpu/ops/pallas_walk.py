@@ -66,7 +66,12 @@ def _walk_call(
     xshift: jnp.ndarray,  # (P, 1, Xp) int32; [p, 0, t] = x_p[t-1]
     yfw: jnp.ndarray,  # (P, 1, yfw_len) int32; [p, 0, p1 + t] = y_p[t]
     yrev: jnp.ndarray,  # (P, 1, *) int32; [p, 0, p1 + P0 + n - 1 - t] = y_p[t]
-    params: jnp.ndarray,  # (P, 8) int32: m, n, pxy, pgap, yoff, p1, 0, 0
+    params: jnp.ndarray,  # (P, 16) int32: m, n, pxy, pgap, yoff, p1, 0, 0,
+    #   then per-band tables (band b of pair p):
+    #   [8+b]  snapshot-group base: snaps row = 3*(params[8+b] + s) + r for
+    #          band-local segment s (per-pair layout: p*nb*s_max + b*s_max;
+    #          conveyor layout: the band's global start // K)
+    #   [12+b] boundary-row slot: rows_all row holding dp[b*rb][j] @ j-1
     *,
     p_group: int,
     g8: int,  # static slot count; slots after all walks finish are skipped
@@ -77,7 +82,7 @@ def _walk_call(
     interpret: bool = False,
 ):
     P = p_group
-    S3 = num_bands * s_max * 3
+    assert num_bands <= 4, "per-band tables hold 4 bands (params cols 8..15)"
     W = min(W_MAX, v_len)  # whole state fits -> window is exact (w0 = 0)
     KC16 = K // 16  # packed dirs rows per pair
 
@@ -114,7 +119,7 @@ def _walk_call(
         dl0s: List = [None] * P
         w0s: List = [None] * P
         sbases: List = [None] * P
-        bands: List = [None] * P
+        rowslots: List = [None] * P
         for p in range(P):
             i_c = st[3 * p + 0]
             j_c = st[3 * p + 1]
@@ -133,8 +138,8 @@ def _walk_call(
             i0s[p] = i0
             dl0s[p] = s * K
             w0s[p] = w0
-            bands[p] = b
-            sbases[p] = p * S3 + (b * s_max + s) * 3
+            sbases[p] = (params_ref[p, 8 + b] + s) * 3
+            rowslots[p] = params_ref[p, 12 + b]
             meta_ref[0, p, 0] = 0
             meta_ref[0, p, 1] = i_c
             meta_ref[0, p, 2] = j_c
@@ -192,7 +197,7 @@ def _walk_call(
                 ))
                 cps.append(pltpu.make_async_copy(
                     rows_ref.at[
-                        pl.ds(p * num_bands + bands[p], 1), :,
+                        pl.ds(rowslots[p], 1), :,
                         pl.ds(pl.multiple_of(dl0, LANES), K),
                     ],
                     tseg.at[pl.ds(p, 1)],
@@ -603,9 +608,11 @@ def nw_align_pallas(
         xshift8, ypad8, P1 + P0 + n - y_cap,
         p1=P1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
     )
-    params = np.array(
-        [[m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0]], dtype=np.int32
-    )
+    params = np.zeros((1, 16), dtype=np.int32)
+    params[0, 0:8] = [m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0]
+    for b in range(min(num_bands, 4)):
+        params[0, 8 + b] = b * s_max  # per-pair snaps layout, p = 0
+        params[0, 12 + b] = b  # rows_all row for band b
 
     moves, meta = _walk_call(
         snaps_flat,

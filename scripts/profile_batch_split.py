@@ -27,8 +27,8 @@ def fill_batch(gene_table, pair_params, *, p_pad, emit):
 
     def one(carry, pp):
         params_fill = pp[0:8]
-        xi = pp[16]
-        yi = pp[17]
+        xi = pp[24]
+        yi = pp[25]
         xshift8 = jax.lax.dynamic_index_in_dim(gene_table, xi, keepdims=False)
         ypad_len = max(Yp, Y_CAP)
         ypad8 = jax.lax.dynamic_slice(
@@ -69,7 +69,7 @@ def main():
     num = len(pairs)
     p_pad = max(16, -(-num // 16) * 16)
     pad_pair = min(pairs, key=lambda ij: len(genes[ij[0]]) * len(genes[ij[1]]))
-    rows = np.zeros((p_pad, 24), dtype=np.int32)
+    rows = np.zeros((p_pad, 32), dtype=np.int32)
     for idx in range(p_pad):
         i, j = pairs[idx] if idx < num else pad_pair
         m, n = len(genes[i]), len(genes[j])
@@ -78,9 +78,9 @@ def main():
         P0 = (-n) % LANES
         rows[idx, 0:8] = [m, n, problem.pxy, problem.pgap, q_last, real_nb, 0, 0]
         rows[idx, 8:16] = [m, n, problem.pxy, problem.pgap, P1 + P0 + n, P1, 0, 0]
-        rows[idx, 16] = i
-        rows[idx, 17] = j
-        rows[idx, 18] = P1 + P0 + n - Y_CAP
+        rows[idx, 24] = i
+        rows[idx, 25] = j
+        rows[idx, 26] = P1 + P0 + n - Y_CAP
 
     tbl = jnp.asarray(table)
     rws = jnp.asarray(rows)

@@ -73,7 +73,7 @@ def main():
     )
     p_pad = -(-num // P_GROUP) * P_GROUP
     pad_pair = min(pairs, key=lambda ij: len(genes[ij[0]]) * len(genes[ij[1]]))
-    rows = np.zeros((p_pad, 24), dtype=np.int32)
+    rows = np.zeros((p_pad, 32), dtype=np.int32)
     from msa_tpu.ops.pallas_walk import Y_CAP
     for idx in range(p_pad):
         i, j = pairs[order[idx]] if idx < num else pad_pair
@@ -83,13 +83,16 @@ def main():
         P0 = (-n) % LANES
         rows[idx, 0:8] = [m, n, problem.pxy, problem.pgap, q_last, real_nb, 0, 0]
         rows[idx, 8:16] = [m, n, problem.pxy, problem.pgap, P1 + P0 + n, P1, 0, 0]
-        rows[idx, 16] = i
-        rows[idx, 17] = j
-        rows[idx, 18] = P1 + P0 + n - Y_CAP
+        for b in range(min(num_bands, 4)):
+            rows[idx, 16 + b] = ((idx % P_GROUP) * num_bands + b) * s_max
+            rows[idx, 20 + b] = (idx % P_GROUP) * num_bands + b
+        rows[idx, 24] = i
+        rows[idx, 25] = j
+        rows[idx, 26] = P1 + P0 + n - Y_CAP
 
     n_groups = p_pad // P_GROUP
     tbl = jnp.asarray(table)
-    rws = jnp.asarray(rows).reshape(n_groups, P_GROUP, 24)
+    rws = jnp.asarray(rows).reshape(n_groups, P_GROUP, 32)
 
     def run_groups():
         # np.asarray (not block_until_ready) forces the sync: on the axon

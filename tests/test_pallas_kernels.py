@@ -67,7 +67,7 @@ def test_fill_score_multiband_interpret():
         (300, 280, 3, 2),   # multi-band (rb=128), single segment
         (500, 600, 3, 2),   # multi-band AND multi-segment (m+n > K)
         (200, 700, 5, 1),   # wide: y much longer than x
-        (650, 150, 4, 3),   # tall: x much longer than y
+        (500, 150, 4, 3),   # tall: x much longer than y (4 bands at rb=128)
     ],
 )
 def test_align_walk_interpret(m, n, pxy, pgap):
