@@ -1,0 +1,663 @@
+"""Conveyor fill: band-interleaved wavefront sweep with zero ramp waste.
+
+The banded fill (``pallas_nw``) pays a full ``rb``-step ramp per band —
+lanes above the advancing diagonal are dead until the band fills, and dead
+again as it drains: ~44 % of all lane-steps on big13. This kernel removes
+the waste *structurally*: every band of every pair rides ONE continuous
+sweep, and a new band enters the lane space exactly as its predecessor
+drains. The regions are comoving — a band's cells, its y characters, and
+its ownership boundary all climb one lane per step together — so the only
+per-step cost of multi-tenancy is the ramp-lane injection (x char + left
+border) that the per-band kernel already performs during its ramp phase.
+
+Schedule (host, ``plan_conveyor``): bands start at K-aligned global steps
+with stagger >= n_prev + 1 (region separation), >= rb (at most one band
+ramping), and >= rb + 2K after a same-pair predecessor (its boundary row
+must be harvested and flushed to HBM before the successor's top feed reads
+it). Feeds (x chars, y chars) are prebuilt on device as conveyor streams;
+boundary rows flow through an HBM table (slot 0 = the analytic row
+dp[0][j] = j*pgap, written by the kernel itself) in the ``index j = column
+j`` layout so every producer flush and consumer read is 128-aligned.
+
+Snapshots are taken at every global K-step boundary; band starts are
+K-aligned, so one global snapshot serves every resident band's traceback
+segment. The walk kernel (``pallas_walk``) consumes them through its
+per-band tables (snap base = band start // K, row slot = the band's
+predecessor boundary-row slot) with ``rows_at_col_index=True``.
+
+Validity: a band's real cells depend only on its injected borders, its top
+feed, and other real cells (never on the garbage another band leaves
+behind) — the same structural argument that makes the per-band kernel's
+ramp garbage harmless, and the reason the walk's windowed recompute stays
+exact over conveyor snapshots.
+
+Reference analog: none — the reference's wavefront (S3,
+``submit/xuliny-seqalkway.cpp:462-491``) never overlapped tiles of
+different pairs; this is where the TPU design overtakes it structurally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msa_tpu.config import DEFAULT
+from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
+from msa_tpu.ops.pallas_walk import K, LANES, NEG_FILL
+
+RB_CONV = 31744  # 31 * K when K = 1024: band height AND all band starts
+                 # stay K-aligned, so chunk-static feed ownership holds.
+CHUNK_PAD = 64   # n_chunks compiles round up to this granularity
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+@dataclasses.dataclass
+class BandPlan:
+    pair_slot: int  # workload pair index (order given by the caller)
+    band: int  # band index within the pair
+    i0: int  # first row of the band (band * rb)
+    n: int  # y length of the pair
+    xi: int  # gene index of x
+    yi: int  # gene index of y
+    start: int  # global step at which local dl = 0 (K-aligned)
+    brow_out: int  # HBM row receiving this band's bottom boundary row
+    brow_in: int  # HBM row feeding this band's top (0 = analytic)
+    is_last: bool  # last band of its pair (emits the score event)
+    q_last: int  # rows in the last band (score lane)
+
+
+@dataclasses.dataclass
+class ConveyorPlan:
+    bands: List[BandPlan]
+    n_chunks: int
+    rb: int
+    v_len: int
+    ymax: int
+    n_slots: int  # brow rows incl. analytic (0) and trash (n_slots - 1)
+
+
+def plan_conveyor(
+    genes: Sequence[str],
+    pairs: Sequence[Tuple[int, int]],  # (xi, yi) per pair, x the band axis
+    rb: int = RB_CONV,
+) -> ConveyorPlan:
+    """K-aligned band schedule for the whole workload (deterministic)."""
+    v_len = _round_up(rb + 1, LANES * LANES)
+    bands: List[BandPlan] = []
+    prev_n = None  # y length of the previous band in conveyor order
+    slot = 1  # 0 = analytic row
+    max_n = 0
+    for pslot, (xi, yi) in enumerate(pairs):
+        m, n = len(genes[xi]), len(genes[yi])
+        nb = max(1, -(-m // rb))
+        assert nb <= 4, "walk per-band tables hold 4 bands"
+        max_n = max(max_n, n)
+        pred_row = 0  # analytic for the first band
+        for b in range(nb):
+            if bands:
+                # >= prev_n + 1: regions stay disjoint (lane q frees at
+                # prev dl = q + n, last lane-0 read at prev dl = n).
+                # >= rb + K: at most one band ramping AND the ramp's chunk
+                # entries (ceil((rb+1)/K) chunks) never collide.
+                # Same-pair: predecessor's boundary row must be harvested
+                # (rb steps) and flushed (chunk + DMA margin) first.
+                stagger = max(prev_n + 1, rb + K)
+                if b > 0:
+                    stagger = max(stagger, rb + 2 * K)
+                start = _round_up(bands[-1].start + stagger, K)
+            else:
+                start = 0
+            bp = BandPlan(
+                pair_slot=pslot,
+                band=b,
+                i0=b * rb,
+                n=n,
+                xi=xi,
+                yi=yi,
+                start=start,
+                brow_out=slot,
+                brow_in=pred_row,
+                is_last=(b == nb - 1),
+                q_last=m - (nb - 1) * rb,
+            )
+            bands.append(bp)
+            pred_row = slot
+            slot += 1
+            prev_n = n
+    last = bands[-1]
+    total = last.start + rb + last.n + 2
+    n_chunks = _round_up(-(-total // K), CHUNK_PAD)
+    ymax = _round_up(max_n + rb + 2 * K + LANES, K)
+    return ConveyorPlan(
+        bands=bands,
+        n_chunks=n_chunks,
+        rb=rb,
+        v_len=v_len,
+        ymax=ymax,
+        n_slots=slot + 1,  # + trash row
+    )
+
+
+def build_chunk_tables(plan: ConveyorPlan) -> np.ndarray:
+    """Per-chunk scalar schedule: (n_chunks, 16) int32.
+
+    cols: 0 ramp_active, 1 ramp_start, 2 ramp_i0,
+          3 top_src slot, 4 top_off (lane offset, K-aligned),
+          5 bot_slot, 6 bot_off, 7 bot_active,
+          8 ev_local_step (-1 = none), 9 ev_q, 10 ev_out_slot.
+    """
+    rb = plan.rb
+    t = np.zeros((plan.n_chunks, 16), dtype=np.int32)
+    t[:, 8] = -1
+    trash = plan.n_slots - 1
+    t[:, 5] = trash
+    for bp in plan.bands:
+        c0 = bp.start // K
+        # Ramp (x char + left border injection): local dl in [0, rb]; keep
+        # the inject on through the whole ramp's chunks (extra steps write
+        # pad lanes only — harmless, proven in the module docstring).
+        ramp_chunks = -(-(rb + 1) // K)
+        for c in range(c0, min(c0 + ramp_chunks, plan.n_chunks)):
+            t[c, 0] = 1
+            t[c, 1] = bp.start
+            t[c, 2] = bp.i0
+        # Top feed: this band owns lane 0 for local steps [0, n + 1]; its
+        # values are brow[brow_in][t] (col t). Chunks may overlap the next
+        # band's start only at the boundary chunk, where the next band's
+        # entries overwrite — exactly right, ownership transfers there.
+        feed_chunks = -(-(bp.n + 2) // K)
+        for c in range(c0, min(c0 + feed_chunks, plan.n_chunks)):
+            t[c, 3] = bp.brow_in
+            t[c, 4] = (c - c0) * K
+        # Bottom harvest: owner of lane rb for local dl in [rb, rb + n];
+        # rb is K-aligned so ownership is chunk-constant.
+        h0 = (bp.start + rb) // K
+        h1 = -(-(bp.start + rb + bp.n + 1) // K)
+        for c in range(h0, min(h1, plan.n_chunks)):
+            t[c, 5] = bp.brow_out
+            t[c, 6] = (c - h0) * K
+            t[c, 7] = 1
+        if bp.is_last:
+            ev = bp.start + bp.q_last + bp.n
+            c = ev // K
+            assert t[c, 8] == -1, "two score events in one chunk"
+            t[c, 8] = ev - c * K
+            t[c, 9] = bp.q_last
+            t[c, 10] = bp.pair_slot
+    return t
+
+
+@functools.partial(
+    jax.jit, static_argnames=("xp", "n_chunks", "rb")
+)
+def _build_feeds(gene_table, band_specs, *, xp, n_chunks, rb):
+    """Device-side conveyor feed streams from the int8 gene table.
+
+    band_specs: (NBANDS, 4) int32 rows (start, xi, yi, i0). Returns
+    x_conv, y_conv: (1, n_chunks*K) int32 (sentinels outside band spans).
+    """
+    total = n_chunks * K
+    # Oversize by one gene-row width: the per-band updates write fixed-size
+    # slices that may overhang the live region near the end of the
+    # schedule; without the margin dynamic_update_slice would CLAMP the
+    # start index and corrupt the stream.
+    x_conv = jnp.full((total + xp,), X_SENTINEL, jnp.int32)
+    y_conv = jnp.full((total + xp,), Y_SENTINEL, jnp.int32)
+    for r in range(band_specs.shape[0]):
+        start = band_specs[r, 0]
+        xi = band_specs[r, 1]
+        yi = band_specs[r, 2]
+        i0 = band_specs[r, 3]
+        # x chars: x_conv[start + t] = code(x[i0 + t - 1]) for t in [1, rb];
+        # gene_table row xi is the shifted layout (table[xi, u] = x[u-1]).
+        xrow = jax.lax.dynamic_index_in_dim(
+            gene_table, xi, keepdims=False
+        ).astype(jnp.int32)
+        xslice = jax.lax.dynamic_slice(xrow, (i0,), (rb + 1,))
+        x_conv = jax.lax.dynamic_update_slice(x_conv, xslice, (start,))
+        # y chars: y_conv[start + t] = code(y[t - 1]) for t in [1, n].
+        yrow = jax.lax.dynamic_index_in_dim(
+            gene_table, yi, keepdims=False
+        ).astype(jnp.int32)
+        yslice = jax.lax.dynamic_slice(yrow, (0,), (xp,))
+        y_conv = jax.lax.dynamic_update_slice(y_conv, yslice, (start,))
+    return x_conv[None, :total], y_conv[None, :total]
+
+
+def _shift_insert(v, elem, row_mask, lane_mask):
+    """Column-major flat shift by one (see pallas_nw._shift_insert)."""
+    rolled = pltpu.roll(v, shift=1, axis=0)
+    top = pltpu.roll(rolled[0:1, :], shift=1, axis=1)
+    top = jnp.where(lane_mask, elem, top)
+    return jnp.where(row_mask, top, rolled)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rb", "v_len", "ymax", "n_slots", "n_pairs",
+        "interpret", "unroll",
+    ),
+)
+def _conveyor_sweep_call(
+    params: jnp.ndarray,  # (8,) int32: pxy, pgap, ...
+    tables: jnp.ndarray,  # (n_chunks, 16) int32, see build_chunk_tables
+    x_conv: jnp.ndarray,  # (1, n_chunks*K) int32 ramp x-char stream
+    y_conv: jnp.ndarray,  # (1, n_chunks*K) int32 y-char stream
+    *,
+    n_chunks: int,
+    rb: int,
+    v_len: int,
+    ymax: int,
+    n_slots: int,
+    n_pairs: int,
+    interpret: bool = False,
+    unroll: int = 128,
+):
+    R = v_len // LANES
+    KC8 = K // LANES
+    rb_row = rb % R
+    rb_col = rb // R
+
+    def kernel(
+        params_ref, tables_ref, x_ref, y_ref,
+        scores_ref, snaps_ref, brow_ref,
+        s_prev1, s_prev1s, s_prev2s, s_yd, s_xv,
+        top_stage, bot_stage, snap_stage, an_stage,
+        sem_top, sem_bot, sem_snap, sem_an,
+    ):
+        g = pl.program_id(0)
+        pxy = params_ref[0]
+        pgap = params_ref[1]
+
+        row_mask = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) == 0
+        lane_mask = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == 0
+        last_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == LANES - 1
+        )
+        flat_q = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1) * R
+            + jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        )
+        top_mask = flat_q == 0
+
+        @pl.when(g == 0)
+        def _():
+            # Fresh state + the analytic boundary row dp[0][j] = j*pgap into
+            # brow slot 0 (the top feed of every pair's first band).
+            s_prev1[:, :] = jnp.full((R, LANES), NEG_FILL, jnp.int32)
+            s_prev1s[:, :] = jnp.full((R, LANES), NEG_FILL, jnp.int32)
+            s_prev2s[:, :] = jnp.full((R, LANES), NEG_FILL, jnp.int32)
+            s_yd[:, :] = jnp.full((R, LANES), Y_SENTINEL, jnp.int32)
+            s_xv[:, :] = jnp.full((R, LANES), X_SENTINEL, jnp.int32)
+            an_stage[:, :] = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, ymax), 1) * pgap
+            )
+            cp = pltpu.make_async_copy(
+                an_stage, brow_ref.at[0], sem_an
+            )
+            cp.start()
+            cp.wait()
+
+        ramp = tables_ref[0, 0]
+        rstart = tables_ref[0, 1]
+        ri0 = tables_ref[0, 2]
+        top_src = tables_ref[0, 3]
+        top_off = tables_ref[0, 4]
+        bot_slot = tables_ref[0, 5]
+        bot_off = tables_ref[0, 6]
+        bot_active = tables_ref[0, 7]
+        ev_local = tables_ref[0, 8]
+        ev_q = tables_ref[0, 9]
+        ev_out = tables_ref[0, 10]
+
+        cp_top = pltpu.make_async_copy(
+            brow_ref.at[top_src, :, pl.ds(pl.multiple_of(top_off, K), K)],
+            top_stage,
+            sem_top,
+        )
+        cp_top.start()
+        cp_top.wait()
+
+        # Snapshot the state ENTERING this chunk (the walk seeds segment
+        # boundaries at every global K multiple; band starts are K-aligned).
+        prev1 = s_prev1[:, :]
+        prev1s = s_prev1s[:, :]
+        prev2s = s_prev2s[:, :]
+        yd = s_yd[:, :]
+        xv = s_xv[:, :]
+        snap_stage[0, :, :] = prev1.T
+        snap_stage[1, :, :] = prev1s.T
+        snap_stage[2, :, :] = prev2s.T
+        cp_snap = pltpu.make_async_copy(
+            snap_stage, snaps_ref.at[g], sem_snap
+        )
+        cp_snap.start()
+        cp_snap.wait()
+
+        base_dl = g * K - rstart  # ramp band's local dl at chunk start
+
+        def make_chunk(with_ramp):
+            def body(c8, carry):
+                prev1, prev1s, prev2s, yd, xv = carry
+                sbase = pl.multiple_of(c8 * LANES, LANES)
+                ychunk = y_ref[0:1, pl.ds(sbase, LANES)]
+                topchunk = top_stage[0:1, pl.ds(sbase, LANES)]
+                bacc = jnp.zeros((1, LANES), jnp.int32)
+
+                def step(si, icarry):
+                    (prev1, prev1s, prev2s, yd, xv, ychunk, topchunk,
+                     bacc) = icarry
+                    s_local = sbase + si
+
+                    yd = _shift_insert(yd, ychunk, row_mask, lane_mask)
+                    sub = jnp.where(xv == yd, 0, pxy)
+                    t1 = prev2s + sub
+                    t2 = jnp.minimum(prev1, prev1s) + pgap
+                    cur = jnp.minimum(t1, t2)
+                    cur = jnp.where(top_mask, topchunk, cur)
+                    if with_ramp:
+                        dl_n = base_dl + s_local
+                        bmask = flat_q == dl_n
+                        cur = jnp.where(bmask, (ri0 + dl_n) * pgap, cur)
+                        xv = jnp.where(bmask, x_ref[0, s_local], xv)
+
+                    # Score event: one pair's dp[m][n] surfaces this chunk.
+                    @pl.when(s_local == ev_local)
+                    def _():
+                        scores_ref[ev_out, 0] = jnp.min(
+                            jnp.where(flat_q == ev_q, cur, NEG_FILL)
+                        )
+
+                    ychunk = pltpu.roll(ychunk, shift=LANES - 1, axis=1)
+                    topchunk = pltpu.roll(topchunk, shift=LANES - 1, axis=1)
+
+                    bottom_row = pltpu.roll(
+                        cur[rb_row : rb_row + 1, :],
+                        shift=(LANES - 1 - rb_col) % LANES,
+                        axis=1,
+                    )
+                    bacc = jnp.where(
+                        last_mask,
+                        bottom_row,
+                        pltpu.roll(bacc, shift=LANES - 1, axis=1),
+                    )
+                    return (
+                        cur,
+                        _shift_insert(cur, NEG_FILL, row_mask, lane_mask),
+                        prev1s,
+                        yd,
+                        xv,
+                        ychunk,
+                        topchunk,
+                        bacc,
+                    )
+
+                (prev1, prev1s, prev2s, yd, xv, _, _, bacc) = (
+                    jax.lax.fori_loop(
+                        0, LANES, step,
+                        (prev1, prev1s, prev2s, yd, xv, ychunk, topchunk,
+                         bacc),
+                        unroll=unroll,
+                    )
+                )
+                bot_stage[0:1, pl.ds(sbase, LANES)] = bacc
+                return (prev1, prev1s, prev2s, yd, xv)
+
+            return body
+
+        init = (prev1, prev1s, prev2s, yd, xv)
+
+        @pl.when(ramp == 1)
+        def _():
+            out = jax.lax.fori_loop(0, KC8, make_chunk(True), init)
+            s_prev1[:, :] = out[0]
+            s_prev1s[:, :] = out[1]
+            s_prev2s[:, :] = out[2]
+            s_yd[:, :] = out[3]
+            s_xv[:, :] = out[4]
+
+        @pl.when(ramp == 0)
+        def _():
+            out = jax.lax.fori_loop(0, KC8, make_chunk(False), init)
+            s_prev1[:, :] = out[0]
+            s_prev1s[:, :] = out[1]
+            s_prev2s[:, :] = out[2]
+            s_yd[:, :] = out[3]
+            s_xv[:, :] = out[4]
+
+        # Bottom boundary-row flush: this chunk's lane-rb harvest is the
+        # owner band's dp[i0+rb][col] for cols [bot_off, bot_off+K).
+        @pl.when(bot_active == 1)
+        def _():
+            cp_bot = pltpu.make_async_copy(
+                bot_stage,
+                brow_ref.at[
+                    bot_slot, :, pl.ds(pl.multiple_of(bot_off, K), K)
+                ],
+                sem_bot,
+            )
+            cp_bot.start()
+            cp_bot.wait()
+
+    scores, snaps, brow = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            pl.BlockSpec(
+                (1, 16), lambda g: (g, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, K), lambda g: (0, g), memory_space=pltpu.SMEM
+            ),  # x stream (scalar reads in the ramp inject)
+            pl.BlockSpec(
+                (1, K), lambda g: (0, g), memory_space=pltpu.VMEM
+            ),  # y stream
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scores
+            pl.BlockSpec(memory_space=pltpu.HBM),  # snaps
+            pl.BlockSpec(memory_space=pltpu.HBM),  # brow
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pairs, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks, 3, LANES, R), jnp.int32),
+            jax.ShapeDtypeStruct((n_slots, 1, ymax), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.int32),  # prev1
+            pltpu.VMEM((R, LANES), jnp.int32),  # prev1s
+            pltpu.VMEM((R, LANES), jnp.int32),  # prev2s
+            pltpu.VMEM((R, LANES), jnp.int32),  # yd
+            pltpu.VMEM((R, LANES), jnp.int32),  # xv
+            pltpu.VMEM((1, K), jnp.int32),  # top feed stage
+            pltpu.VMEM((1, K), jnp.int32),  # bottom harvest stage
+            pltpu.VMEM((3, LANES, R), jnp.int32),  # snapshot stage
+            pltpu.VMEM((1, ymax), jnp.int32),  # analytic row stage
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(params, tables, x_conv, y_conv)
+    return scores, snaps, brow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p1", "yfw_len", "yrev_len", "y_cap", "ypad_len"),
+)
+def _group_walk_inputs(
+    gene_table, gpp, *, p1, yfw_len, yrev_len, y_cap, ypad_len
+):
+    """Per-group walk feed buffers, derived on device (as in ops.batch)."""
+    from msa_tpu.ops.pallas_walk import _build_walk_inputs
+
+    def one(carry, pp):
+        xi = pp[24]
+        yi = pp[25]
+        rev_shift = pp[26]
+        xshift8 = jax.lax.dynamic_index_in_dim(
+            gene_table, xi, keepdims=False
+        )
+        ypad8 = jax.lax.dynamic_slice(
+            jax.lax.dynamic_index_in_dim(gene_table, yi, keepdims=False),
+            (1,),
+            (ypad_len,),
+        )
+        xs32, yfw, yrev = _build_walk_inputs(
+            xshift8, ypad8, rev_shift,
+            p1=p1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
+        )
+        return carry, (xs32[0], yfw[0], yrev[0], pp[8:24])
+
+    _, outs = jax.lax.scan(one, None, gpp)
+    return outs
+
+
+def align_pairs_conveyor(
+    genes: Sequence[str],
+    pairs: Sequence[Tuple[int, int]],  # (i, j) gene indices per pair
+    pxy: int,
+    pgap: int,
+    interpret: bool = False,
+    rb: int = RB_CONV,
+) -> List[Tuple[int, str, str]]:
+    """Align many big pairs: ONE conveyor fill + per-group batched walks."""
+    from msa_tpu.config import DEFAULT
+    from msa_tpu.ops.pallas_walk import (
+        W_MAX,
+        Y_CAP,
+        _walk_call,
+        decode_moves,
+        walk_slot_budget,
+    )
+    from msa_tpu.utils.alignment import moves_to_alignment
+
+    P_GROUP = DEFAULT.p_group
+    num = len(pairs)
+    order = sorted(
+        range(num),
+        key=lambda idx: -(
+            len(genes[pairs[idx][0]]) + len(genes[pairs[idx][1]])
+        ),
+    )
+    ordered = [pairs[idx] for idx in order]
+    plan = plan_conveyor(genes, ordered, rb=rb)
+    v_len = plan.v_len
+    tables = build_chunk_tables(plan)
+    nb_max = 4
+    y_cap = max(Y_CAP if not interpret else 0, plan.ymax)
+    P1 = rb
+    Xp = _round_up(nb_max * rb + v_len + LANES + 1 + y_cap, LANES)
+    yfw_len = _round_up(P1 + rb + y_cap + 3 * K, LANES)
+    yrev_len = _round_up(P1 + LANES + y_cap + v_len + 2 * LANES, LANES)
+
+    k = len(genes)
+    table = np.full((k, Xp), X_SENTINEL, np.int8)
+    for g, seq in enumerate(genes):
+        codes = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
+        table[g, 1 : 1 + len(codes)] = codes
+        table[g, 1 + len(seq):] = Y_SENTINEL
+    table_dev = jnp.asarray(table)
+
+    band_specs = np.array(
+        [[bp.start, bp.xi, bp.yi, bp.i0] for bp in plan.bands],
+        dtype=np.int32,
+    )
+    x_conv, y_conv = _build_feeds(
+        table_dev, jnp.asarray(band_specs),
+        xp=Xp, n_chunks=plan.n_chunks, rb=rb,
+    )
+    scores_d, snaps, brow = _conveyor_sweep_call(
+        jnp.asarray(np.array([pxy, pgap, 0, 0, 0, 0, 0, 0], np.int32)),
+        jnp.asarray(tables),
+        x_conv,
+        y_conv,
+        n_chunks=plan.n_chunks,
+        rb=rb,
+        v_len=v_len,
+        ymax=plan.ymax,
+        n_slots=plan.n_slots,
+        n_pairs=_round_up(num, P_GROUP),
+        interpret=interpret,
+        unroll=1 if interpret else 128,
+    )
+    snaps_flat = snaps.reshape(plan.n_chunks * 3, 1, v_len)
+
+    # Per-pair walk tables from the plan.
+    by_slot: Dict[int, List[BandPlan]] = {}
+    for bp in plan.bands:
+        by_slot.setdefault(bp.pair_slot, []).append(bp)
+
+    p_pad = -(-num // P_GROUP) * P_GROUP
+    rows = np.zeros((p_pad, 32), dtype=np.int32)
+    for slot in range(p_pad):
+        pslot = slot if slot < num else num - 1
+        i, j = ordered[pslot]
+        m, n = len(genes[i]), len(genes[j])
+        P0 = (-n) % LANES
+        rows[slot, 8:16] = [m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0]
+        for bp in by_slot[pslot]:
+            rows[slot, 16 + bp.band] = bp.start // K
+            rows[slot, 20 + bp.band] = bp.brow_in
+        rows[slot, 24] = i
+        rows[slot, 25] = j
+        rows[slot, 26] = P1 + P0 + n - y_cap
+    gpp = jnp.asarray(rows).reshape(-1, P_GROUP, 32)
+    n_groups = p_pad // P_GROUP
+    g8 = walk_slot_budget(nb_max * rb + y_cap, nb_max)
+
+    futs = []
+    for g in range(n_groups):
+        xs_s, yfw_s, yrev_s, wparams = _group_walk_inputs(
+            table_dev, gpp[g],
+            p1=P1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
+            ypad_len=y_cap,
+        )
+        moves, meta = _walk_call(
+            snaps_flat,
+            brow,
+            xs_s,
+            yfw_s,
+            yrev_s,
+            wparams,
+            p_group=P_GROUP,
+            g8=g8,
+            num_bands=nb_max,
+            s_max=0,
+            rb=rb,
+            v_len=v_len,
+            interpret=interpret,
+            rows_at_col_index=True,
+        )
+        futs.append((moves, meta))
+
+    scores = np.asarray(scores_d).reshape(-1)
+    out: List[Tuple[int, str, str]] = [None] * num  # type: ignore
+    for g, (moves_d, meta_d) in enumerate(futs):
+        words = np.asarray(moves_d)  # (g8, P, K//16)
+        meta = np.asarray(meta_d)
+        for p in range(P_GROUP):
+            slot = g * P_GROUP + p
+            if slot >= num:
+                break
+            idx = order[slot]
+            mv = decode_moves(words[:, p, :], meta[:, p, 0])
+            i, j = pairs[idx]
+            a1, a2 = moves_to_alignment(genes[i], genes[j], mv)
+            out[idx] = (int(scores[slot]), a1, a2)
+    return out

@@ -58,6 +58,7 @@ NEG_FILL = 2**30
     jax.jit,
     static_argnames=(
         "p_group", "g8", "num_bands", "s_max", "rb", "v_len", "interpret",
+        "rows_at_col_index",
     ),
 )
 def _walk_call(
@@ -80,7 +81,12 @@ def _walk_call(
     rb: int,
     v_len: int,
     interpret: bool = False,
+    rows_at_col_index: bool = False,
 ):
+    """``rows_at_col_index``: boundary rows store column j at index j (the
+    conveyor fill's aligned-flush layout) instead of at index j-1; the
+    top-feed chunks then read one extra subchunk and pre-roll by one lane.
+    """
     P = p_group
     assert num_bands <= 4, "per-band tables hold 4 bands (params cols 8..15)"
     W = min(W_MAX, v_len)  # whole state fits -> window is exact (w0 = 0)
@@ -198,7 +204,10 @@ def _walk_call(
                 cps.append(pltpu.make_async_copy(
                     rows_ref.at[
                         pl.ds(rowslots[p], 1), :,
-                        pl.ds(pl.multiple_of(dl0, LANES), K),
+                        pl.ds(
+                            pl.multiple_of(dl0, LANES),
+                            K + LANES if rows_at_col_index else K,
+                        ),
                     ],
                     tseg.at[pl.ds(p, 1)],
                     sem.at[p, 6],
@@ -263,10 +272,26 @@ def _walk_call(
                     [yseg[p, 0:1, pl.ds(cbase, LANES)] for p in range(P)],
                     LANES,
                 )
-                twin = assemble(
-                    [tseg[p, 0:1, pl.ds(cbase, LANES)] for p in range(P)],
-                    LANES,
-                )
+                if rows_at_col_index:
+                    # Index j = col j: step t needs col dl0+t, one lane
+                    # ahead of the old layout; read two subchunks and
+                    # pre-roll so lane 0 holds the first needed value.
+                    twin = assemble(
+                        [
+                            tseg[p, 0:1, pl.ds(cbase, 2 * LANES)]
+                            for p in range(P)
+                        ],
+                        2 * LANES,
+                    )
+                    twin = pltpu.roll(twin, shift=2 * LANES - 1, axis=1)
+                else:
+                    twin = assemble(
+                        [
+                            tseg[p, 0:1, pl.ds(cbase, LANES)]
+                            for p in range(P)
+                        ],
+                        LANES,
+                    )
 
                 def step(si, icarry):
                     prev1, prev1s, prev2s, ydv, ywin, twin, acc = icarry
@@ -326,7 +351,9 @@ def _walk_call(
                     acc = jnp.where(sub16 == 15, 0, acc)
 
                     ywin = pltpu.roll(ywin, shift=LANES - 1, axis=1)
-                    twin = pltpu.roll(twin, shift=LANES - 1, axis=1)
+                    twin = pltpu.roll(
+                        twin, shift=twin.shape[1] - 1, axis=1
+                    )
                     prev1s_new = jnp.where(
                         lane0_w, NEG_FILL, pltpu.roll(cur, shift=1, axis=1)
                     )
@@ -480,7 +507,9 @@ def _walk_call(
             pltpu.VMEM((P, 1, W), jnp.int32),  # x windows
             pltpu.VMEM((P, 1, W), jnp.int32),  # yd init windows
             pltpu.VMEM((P, 1, K), jnp.int32),  # y forward feeds
-            pltpu.VMEM((P, 1, K), jnp.int32),  # top row feeds
+            pltpu.VMEM(
+                (P, 1, K + LANES if rows_at_col_index else K), jnp.int32
+            ),  # top row feeds
             pltpu.VMEM((P * (K // 16), 1, W), jnp.int32),  # packed dirs
             # Double-buffered per-pair dirs for the scalar walk (see
             # sdirs_copy): buffer (p % 2) is walked while (p+1) % 2 fills.

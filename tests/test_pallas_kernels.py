@@ -113,3 +113,25 @@ def test_batched_group_walk_interpret(monkeypatch):
     got = batch.align_pairs_batched(genes, pairs, 3, 2, interpret=True)
     for (i, j), res in zip(pairs, got):
         assert res == nw_align_numpy(genes[i], genes[j], 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# Conveyor fill (band-interleaved sweep) + global-snapshot walk
+# ---------------------------------------------------------------------------
+
+
+def test_conveyor_interpret(monkeypatch):
+    """Whole-workload conveyor fill + walks vs the numpy oracle."""
+    import msa_tpu.ops.conveyor as conv
+
+    monkeypatch.setattr(conv, "CHUNK_PAD", 1)
+    rng = np.random.default_rng(11)
+    genes = [
+        _rand_seq(rng, n) for n in (1400, 2100, 900, 2600, 1300)
+    ]
+    pairs = [(i, j) for i in range(1, 5) for j in range(i)]  # 10 pairs
+    got = conv.align_pairs_conveyor(
+        genes, pairs, 3, 2, interpret=True, rb=1024
+    )
+    for (i, j), res in zip(pairs, got):
+        assert res == nw_align_numpy(genes[i], genes[j], 3, 2), (i, j)
