@@ -60,7 +60,7 @@ def main():
     t0 = time.time()
     result = align_kway(problem, backend="pallas")
     elapsed = time.time() - t0
-    assert result.chain_hash.startswith(GOLDEN_PREFIX)
+    assert result.chain_hash == GOLDEN_HASH
 
     gcups = cells / elapsed / 1e9
     print(

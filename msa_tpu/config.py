@@ -32,6 +32,12 @@ class EngineConfig:
     # (they seed each other, so one knob). 1024 measured best (512: 2x the
     # walk's per-slot fixed overhead; see docs/PERF.md).
     snap_k: int = 1024
+    # Big-pair fill strategy: "conveyor" (band-interleaved single sweep,
+    # zero ramp waste) or "banded" (per-pair band sweeps, ops/batch).
+    fill_mode: str = "conveyor"
+    # Conveyor band height: must be a multiple of snap_k so band starts and
+    # boundary-row flushes stay K-aligned (31 * 1024).
+    rb_conveyor: int = 31744
     # Pairs per walk launch, riding the VPU sublane dim. 8 measured best
     # (16: 91.5 vs 93.2 GCUPS at the time of measurement).
     p_group: int = 8
@@ -45,6 +51,10 @@ class EngineConfig:
     max_seq_len: int = 100_352
     # Emit jax.profiler traces to this directory when set.
     profile_dir: Optional[str] = None
+    # Run the Pallas kernels in interpret mode and allow the batched device
+    # pipeline on the CPU backend (CI: the multi-process pod path with small
+    # geometry; see tests/test_multiprocess.py).
+    interpret: int = 0
 
     @classmethod
     def from_env(cls, **overrides) -> "EngineConfig":

@@ -72,14 +72,23 @@ class KWayAligner:
         remaining = [t for t in tasks if t.task_id not in results]
         batched = self._batched_tasks(genes, remaining)
         if batched:
-            from msa_tpu.ops.batch import align_pairs_batched
+            from msa_tpu.config import DEFAULT
             from msa_tpu.utils.hashing import pair_hash
 
-            triples = align_pairs_batched(
+            if DEFAULT.fill_mode == "conveyor":
+                # Band-interleaved single sweep: every band of every pair
+                # rides one continuous wavefront — no per-band ramp/drain
+                # waste (ops/conveyor).
+                from msa_tpu.ops.conveyor import align_pairs_conveyor as _impl
+            else:
+                from msa_tpu.ops.batch import align_pairs_batched as _impl
+
+            triples = _impl(
                 genes,
                 [(t.i, t.j) for t in batched],
                 self.pairwise.pxy,
                 self.pairwise.pgap,
+                interpret=bool(DEFAULT.interpret),
             )
             for t, (penalty, a1, a2) in zip(batched, triples):
                 results[t.task_id] = PairResult(
@@ -120,16 +129,17 @@ class KWayAligner:
 
     def _batched_tasks(self, genes: Sequence[str], tasks):
         """Big pairs eligible for the one-call device pipeline."""
+        from msa_tpu.config import DEFAULT
+
         if self.pairwise.backend not in ("pallas", "auto"):
             return []
         try:
             import jax
 
-            if jax.default_backend() == "cpu":
+            if jax.default_backend() == "cpu" and not DEFAULT.interpret:
                 return []
         except Exception:
             return []
-        from msa_tpu.config import DEFAULT
         from msa_tpu.ops.pallas_walk import X_CAP
 
         big = [

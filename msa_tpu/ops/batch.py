@@ -144,7 +144,7 @@ def _align_group_device(gene_table, group_params, *, interpret=False):
         p_group=P_GROUP,
         g8=g8,
         num_bands=num_bands,
-        s_max=s_max,
+
         rb=rb,
         v_len=v_len,
         interpret=interpret,

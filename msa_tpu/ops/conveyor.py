@@ -52,9 +52,18 @@ from msa_tpu.config import DEFAULT
 from msa_tpu.ops.buckets import X_SENTINEL, Y_SENTINEL
 from msa_tpu.ops.pallas_walk import K, LANES, NEG_FILL
 
-RB_CONV = 31744  # 31 * K when K = 1024: band height AND all band starts
-                 # stay K-aligned, so chunk-static feed ownership holds.
+RB_CONV = DEFAULT.rb_conveyor  # 31 * K when K = 1024: band height AND all
+                 # band starts stay K-aligned, so chunk-static feed
+                 # ownership holds.
 CHUNK_PAD = 64   # n_chunks compiles round up to this granularity
+
+assert RB_CONV % K == 0, "conveyor band height must be K-aligned"
+# The walk's per-band tables hold 4 bands (params cols 8..15); the spec cap
+# (max_seq_len ~ 100k, Project2B.pdf p.5) must fit that grid — catch a
+# config change to rb_conveyor at import, not at 100k-pair runtime.
+assert -(-DEFAULT.max_seq_len // RB_CONV) <= 4, (
+    "max_seq_len requires > 4 conveyor bands; raise rb_conveyor"
+)
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -97,10 +106,12 @@ def plan_conveyor(
     prev_n = None  # y length of the previous band in conveyor order
     slot = 1  # 0 = analytic row
     max_n = 0
+    ev_chunks = set()  # K-chunks already holding a score event
     for pslot, (xi, yi) in enumerate(pairs):
         m, n = len(genes[xi]), len(genes[yi])
         nb = max(1, -(-m // rb))
         assert nb <= 4, "walk per-band tables hold 4 bands"
+        q_last = m - (nb - 1) * rb
         max_n = max(max_n, n)
         pred_row = 0  # analytic for the first band
         for b in range(nb):
@@ -117,6 +128,14 @@ def plan_conveyor(
                 start = _round_up(bands[-1].start + stagger, K)
             else:
                 start = 0
+            if b == nb - 1:
+                # The chunk table holds one score event per chunk; event
+                # position start + q_last + n is not monotone across pairs
+                # (a short-n pair after a long-n one can land in an occupied
+                # chunk), so defer the last band until its chunk is free.
+                while (start + q_last + n) // K in ev_chunks:
+                    start += K
+                ev_chunks.add((start + q_last + n) // K)
             bp = BandPlan(
                 pair_slot=pslot,
                 band=b,
@@ -128,7 +147,7 @@ def plan_conveyor(
                 brow_out=slot,
                 brow_in=pred_row,
                 is_last=(b == nb - 1),
-                q_last=m - (nb - 1) * rb,
+                q_last=q_last,
             )
             bands.append(bp)
             pred_row = slot
@@ -136,7 +155,9 @@ def plan_conveyor(
             prev_n = n
     last = bands[-1]
     total = last.start + rb + last.n + 2
-    n_chunks = _round_up(-(-total // K), CHUNK_PAD)
+    # Rows always multiple of 8: the chunk table is fetched in (8, 128)
+    # SMEM blocks (Mosaic's minimum block tiling).
+    n_chunks = _round_up(_round_up(-(-total // K), 8), CHUNK_PAD)
     ymax = _round_up(max_n + rb + 2 * K + LANES, K)
     return ConveyorPlan(
         bands=bands,
@@ -149,15 +170,17 @@ def plan_conveyor(
 
 
 def build_chunk_tables(plan: ConveyorPlan) -> np.ndarray:
-    """Per-chunk scalar schedule: (n_chunks, 16) int32.
+    """Per-chunk scalar schedule: (n_chunks, 128) int32.
 
     cols: 0 ramp_active, 1 ramp_start, 2 ramp_i0,
           3 top_src slot, 4 top_off (lane offset, K-aligned),
           5 bot_slot, 6 bot_off, 7 bot_active,
           8 ev_local_step (-1 = none), 9 ev_q, 10 ev_out_slot.
+    Rows are 128 wide (cols 11+ unused) so the kernel can fetch the table
+    in (8, 128) SMEM blocks — Mosaic's minimum block tiling.
     """
     rb = plan.rb
-    t = np.zeros((plan.n_chunks, 16), dtype=np.int32)
+    t = np.zeros((plan.n_chunks, 128), dtype=np.int32)
     t[:, 8] = -1
     trash = plan.n_slots - 1
     t[:, 5] = trash
@@ -251,7 +274,7 @@ def _shift_insert(v, elem, row_mask, lane_mask):
 )
 def _conveyor_sweep_call(
     params: jnp.ndarray,  # (8,) int32: pxy, pgap, ...
-    tables: jnp.ndarray,  # (n_chunks, 16) int32, see build_chunk_tables
+    tables: jnp.ndarray,  # (n_chunks, 128) int32, see build_chunk_tables
     x_conv: jnp.ndarray,  # (1, n_chunks*K) int32 ramp x-char stream
     y_conv: jnp.ndarray,  # (1, n_chunks*K) int32 y-char stream
     *,
@@ -309,17 +332,18 @@ def _conveyor_sweep_call(
             cp.start()
             cp.wait()
 
-        ramp = tables_ref[0, 0]
-        rstart = tables_ref[0, 1]
-        ri0 = tables_ref[0, 2]
-        top_src = tables_ref[0, 3]
-        top_off = tables_ref[0, 4]
-        bot_slot = tables_ref[0, 5]
-        bot_off = tables_ref[0, 6]
-        bot_active = tables_ref[0, 7]
-        ev_local = tables_ref[0, 8]
-        ev_q = tables_ref[0, 9]
-        ev_out = tables_ref[0, 10]
+        tr = g % 8  # row within the (8, 128) table block
+        ramp = tables_ref[tr, 0]
+        rstart = tables_ref[tr, 1]
+        ri0 = tables_ref[tr, 2]
+        top_src = tables_ref[tr, 3]
+        top_off = tables_ref[tr, 4]
+        bot_slot = tables_ref[tr, 5]
+        bot_off = tables_ref[tr, 6]
+        bot_active = tables_ref[tr, 7]
+        ev_local = tables_ref[tr, 8]
+        ev_q = tables_ref[tr, 9]
+        ev_out = tables_ref[tr, 10]
 
         cp_top = pltpu.make_async_copy(
             brow_ref.at[top_src, :, pl.ds(pl.multiple_of(top_off, K), K)],
@@ -329,25 +353,15 @@ def _conveyor_sweep_call(
         cp_top.start()
         cp_top.wait()
 
-        # Snapshot the state ENTERING this chunk (the walk seeds segment
-        # boundaries at every global K multiple; band starts are K-aligned).
         prev1 = s_prev1[:, :]
         prev1s = s_prev1s[:, :]
         prev2s = s_prev2s[:, :]
         yd = s_yd[:, :]
         xv = s_xv[:, :]
-        snap_stage[0, :, :] = prev1.T
-        snap_stage[1, :, :] = prev1s.T
-        snap_stage[2, :, :] = prev2s.T
-        cp_snap = pltpu.make_async_copy(
-            snap_stage, snaps_ref.at[g], sem_snap
-        )
-        cp_snap.start()
-        cp_snap.wait()
 
         base_dl = g * K - rstart  # ramp band's local dl at chunk start
 
-        def make_chunk(with_ramp):
+        def make_chunk(with_ramp, snap=False):
             def body(c8, carry):
                 prev1, prev1s, prev2s, yd, xv = carry
                 sbase = pl.multiple_of(c8 * LANES, LANES)
@@ -392,9 +406,32 @@ def _conveyor_sweep_call(
                         bottom_row,
                         pltpu.roll(bacc, shift=LANES - 1, axis=1),
                     )
+                    cur_s = _shift_insert(cur, NEG_FILL, row_mask, lane_mask)
+                    if snap:
+                        # Snapshot the state at global step g*K — i.e. AFTER
+                        # the chunk's first step (which produces band-local
+                        # dl = g*K - rstart for each resident band). The walk
+                        # seeds segment s of a band at local dl0 = s*K, whose
+                        # global step is start + s*K = (start//K + s)*K: the
+                        # FIRST step's output of that chunk, not its entry
+                        # state (the entry state is at dl0 - 1 — seeding the
+                        # walk from it corrupts every segment crossing).
+                        # Rows mirror the walk's seed contract: (state@dl0,
+                        # shift(state@dl0), shift(state@dl0-1)) — exactly the
+                        # step's carry-out triple.
+                        @pl.when(s_local == 0)
+                        def _():
+                            snap_stage[0, :, :] = cur.T
+                            snap_stage[1, :, :] = cur_s.T
+                            snap_stage[2, :, :] = prev1s.T
+                            cp_snap = pltpu.make_async_copy(
+                                snap_stage, snaps_ref.at[g], sem_snap
+                            )
+                            cp_snap.start()
+                            cp_snap.wait()
                     return (
                         cur,
-                        _shift_insert(cur, NEG_FILL, row_mask, lane_mask),
+                        cur_s,
                         prev1s,
                         yd,
                         xv,
@@ -420,7 +457,8 @@ def _conveyor_sweep_call(
 
         @pl.when(ramp == 1)
         def _():
-            out = jax.lax.fori_loop(0, KC8, make_chunk(True), init)
+            st0 = make_chunk(True, snap=True)(0, init)
+            out = jax.lax.fori_loop(1, KC8, make_chunk(True), st0)
             s_prev1[:, :] = out[0]
             s_prev1s[:, :] = out[1]
             s_prev2s[:, :] = out[2]
@@ -429,7 +467,8 @@ def _conveyor_sweep_call(
 
         @pl.when(ramp == 0)
         def _():
-            out = jax.lax.fori_loop(0, KC8, make_chunk(False), init)
+            st0 = make_chunk(False, snap=True)(0, init)
+            out = jax.lax.fori_loop(1, KC8, make_chunk(False), st0)
             s_prev1[:, :] = out[0]
             s_prev1s[:, :] = out[1]
             s_prev2s[:, :] = out[2]
@@ -456,7 +495,7 @@ def _conveyor_sweep_call(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
             pl.BlockSpec(
-                (1, 16), lambda g: (g, 0), memory_space=pltpu.SMEM
+                (8, 128), lambda g: (g // 8, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (1, K), lambda g: (0, g), memory_space=pltpu.SMEM
@@ -638,7 +677,6 @@ def align_pairs_conveyor(
             p_group=P_GROUP,
             g8=g8,
             num_bands=nb_max,
-            s_max=0,
             rb=rb,
             v_len=v_len,
             interpret=interpret,

@@ -57,7 +57,7 @@ NEG_FILL = 2**30
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "p_group", "g8", "num_bands", "s_max", "rb", "v_len", "interpret",
+        "p_group", "g8", "num_bands", "rb", "v_len", "interpret",
         "rows_at_col_index",
     ),
 )
@@ -77,7 +77,6 @@ def _walk_call(
     p_group: int,
     g8: int,  # static slot count; slots after all walks finish are skipped
     num_bands: int,
-    s_max: int,
     rb: int,
     v_len: int,
     interpret: bool = False,
@@ -479,11 +478,11 @@ def _walk_call(
         grid=(g8,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params (P, 8)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # snaps
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows_all
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xshift
-            pl.BlockSpec(memory_space=pltpu.ANY),  # yfw
-            pl.BlockSpec(memory_space=pltpu.ANY),  # yrev
+            pl.BlockSpec(memory_space=pl.ANY),  # snaps
+            pl.BlockSpec(memory_space=pl.ANY),  # rows_all
+            pl.BlockSpec(memory_space=pl.ANY),  # xshift
+            pl.BlockSpec(memory_space=pl.ANY),  # yfw
+            pl.BlockSpec(memory_space=pl.ANY),  # yrev
         ],
         out_specs=(
             # Moves land in SMEM: the walk emits one scalar word per 16
@@ -551,6 +550,12 @@ RB_ALIGN = DEFAULT.rb_align
 Y_CAP = DEFAULT.max_seq_len  # spec max length (~100k, Project2B.pdf p.5)
 X_CAP = DEFAULT.max_seq_len  # band-grid cap: ceil(X_CAP/RB_ALIGN) bands
 SMALL_THRESHOLD = DEFAULT.small_threshold  # below: jnp full-dirs path wins
+
+# The walk's per-band tables hold 4 bands; the spec cap must fit the band
+# grid — catch a config change to rb_align at import time.
+assert -(-X_CAP // RB_ALIGN) <= 4, (
+    "max_seq_len requires > 4 bands at rb_align; raise rb_align"
+)
 
 
 def nw_align_pallas(
@@ -653,7 +658,6 @@ def nw_align_pallas(
         p_group=1,
         g8=walk_slot_budget(num_bands * rb + y_cap, num_bands),
         num_bands=num_bands,
-        s_max=s_max,
         rb=rb,
         v_len=v_len,
         interpret=interpret,

@@ -113,12 +113,92 @@ def walk_dirs(dirs: np.ndarray, m: int, n: int) -> List[int]:
     return moves
 
 
+# Above this many cells, nw_align_numpy switches to the blocked
+# checkpoint/recompute path: the full dp+dirs materialization is ~5 B/cell
+# (10+ GB for one 30k x 70k pair — the r2 conformance timeout), while the
+# blocked path peaks at ~5 B * block * n.
+FULL_MATRIX_CELL_CAP = 64_000_000
+BLOCK_ROWS = 1024
+
+
 def nw_align_numpy(
     x: str, y: str, pxy: int, pgap: int
 ) -> Tuple[int, str, str]:
-    """Penalty + trimmed alignment strings, bit-identical to the reference."""
+    """Penalty + trimmed alignment strings, bit-identical to the reference.
+
+    Memory-bounded: large pairs route through the blocked
+    checkpoint-row/recompute traceback (same cells, same tie-break — an
+    exact-equality fuzz test covers the seam).
+    """
+    m, n = len(x), len(y)
+    if m * n > FULL_MATRIX_CELL_CAP and m > 2 * BLOCK_ROWS:
+        return nw_align_numpy_blocked(x, y, pxy, pgap)
     dp = nw_dp_matrix(x, y, pxy, pgap)
     dirs = nw_dirs(dp, x, y, pxy, pgap)
-    moves = walk_dirs(dirs, len(x), len(y))
+    moves = walk_dirs(dirs, m, n)
     a1, a2 = moves_to_alignment(x, y, moves)
-    return int(dp[len(x), len(y)]), a1, a2
+    return int(dp[m, n]), a1, a2
+
+
+def _advance_row(prev: np.ndarray, xc: int, yv: np.ndarray, pxy: int,
+                 pgap: int, i: int, jpgap: np.ndarray) -> np.ndarray:
+    """One DP row from the previous row (vectorized prefix-min form)."""
+    sub = np.where(xc == yv, 0, pxy).astype(np.int32)
+    t = np.minimum(prev[:-1] + sub, prev[1:] + pgap)
+    u = np.minimum.accumulate(
+        np.concatenate(([np.int32(i * pgap)], t - jpgap))
+    )
+    return u + np.concatenate(([np.int32(0)], jpgap))
+
+
+def nw_align_numpy_blocked(
+    x: str, y: str, pxy: int, pgap: int, block: int = BLOCK_ROWS
+) -> Tuple[int, str, str]:
+    """Exact alignment with O(block * n) peak memory.
+
+    Forward pass saves every ``block``-th DP row; the traceback recomputes
+    one block of rows at a time (checkpoint row -> block's dirs) and walks
+    it with the reference tie-break — the host-side analog of the device
+    walk's checkpoint-diagonal + windowed-recompute scheme
+    (``ops/pallas_walk.py``). Reference semantics:
+    ``seqalign-mpi-skeleton.cpp:186-280``.
+    """
+    xv = seq_to_codes(x)
+    yv = seq_to_codes(y)
+    m, n = len(xv), len(yv)
+    jj = np.arange(n + 1, dtype=np.int32)
+    jpgap = jj[1:] * pgap
+
+    # Forward fill, checkpointing rows 0, block, 2*block, ...
+    ckpts = {0: (jj * pgap).astype(np.int32)}
+    prev = ckpts[0]
+    for i in range(1, m + 1):
+        prev = _advance_row(prev, xv[i - 1], yv, pxy, pgap, i, jpgap)
+        if i % block == 0:
+            ckpts[i] = prev
+    score = int(prev[n])
+
+    # Traceback, one block of rows at a time.
+    i, j = m, n
+    moves: List[int] = []
+    while i != 0 and j != 0:
+        i0 = (i - 1) // block * block  # checkpointed row above i
+        rows = np.empty((i - i0 + 1, n + 1), dtype=np.int32)
+        rows[0] = ckpts[i0]
+        for r in range(1, i - i0 + 1):
+            rows[r] = _advance_row(
+                rows[r - 1], xv[i0 + r - 1], yv, pxy, pgap, i0 + r, jpgap
+            )
+        dirs = nw_dirs(rows, x[i0:i], y, pxy, pgap)
+        while i > i0 and j > 0:
+            mv = int(dirs[i - i0 - 1, j - 1])
+            moves.append(mv)
+            if mv <= DIAG_SUB:
+                i -= 1
+                j -= 1
+            elif mv == UP:
+                i -= 1
+            else:
+                j -= 1
+    a1, a2 = moves_to_alignment(x, y, moves)
+    return score, a1, a2

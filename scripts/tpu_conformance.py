@@ -62,7 +62,10 @@ def run_cross(path, backend):
     dt = time.time() - t0
     # Host oracle: native C++ for small inputs, vectorized numpy for huge
     # ones (the scalar C++ fill is ~100x slower than the device on 1e10
-    # cells; numpy's prefix-min rows keep the cross-check to seconds).
+    # cells). The numpy oracle is memory-bounded per pair: above
+    # FULL_MATRIX_CELL_CAP it uses the blocked checkpoint-row traceback
+    # (ops/reference.nw_align_numpy_blocked) instead of materializing the
+    # full dp+dirs — the r2 adversarial run timed out exactly there.
     cells = sum(
         len(problem.genes[i]) * len(problem.genes[j])
         for i in range(1, problem.k)

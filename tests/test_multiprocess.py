@@ -36,11 +36,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(nproc: int, extra_args=None, tmp_path=None):
+def _launch(nproc: int, extra_args=None, tmp_path=None, backend="numpy",
+            extra_env=None):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # no virtual-device forcing in subprocesses
+    env.update(extra_env or {})
     procs = []
     for pid in range(nproc):
         cmd = [
@@ -49,7 +51,7 @@ def _launch(nproc: int, extra_args=None, tmp_path=None):
             "--coordinator", f"127.0.0.1:{port}",
             "--num-processes", str(nproc),
             "--process-id", str(pid),
-            "--backend", "numpy",
+            "--backend", backend,
             "--platform", "cpu",
             "--input", str(REPO / "data" / "mseq1.dat"),
         ] + (extra_args or [])
@@ -80,6 +82,34 @@ def test_two_process_golden_mseq1():
     assert lines[1] == MSEQ1_HASH
     assert lines[2] == MSEQ1_PENALTIES.rstrip("\n")  # trailing space kept
     assert MSEQ1_HASH not in outs[1]
+
+
+@pytest.mark.parametrize("fill_mode", ["banded", "conveyor"])
+def test_two_process_batched_pipeline_golden(fill_mode):
+    """The pod code path: shard -> batched device pipeline -> allgather.
+
+    Big pairs go through the Pallas pipeline (interpret mode, small
+    geometry via MSA_TPU_* env) inside REAL separate processes — the
+    combination that runs on an actual pod, which the numpy-backend test
+    never exercises. Reference analog: every rank ran the same compute
+    path in the worker loop (submit/xuliny-seqalkway.cpp:369-417).
+    """
+    outs = _launch(
+        2,
+        backend="pallas",
+        extra_env={
+            "MSA_TPU_INTERPRET": "1",
+            "MSA_TPU_FILL_MODE": fill_mode,
+            "MSA_TPU_SMALL_THRESHOLD": "0",
+            "MSA_TPU_SNAP_K": "128",
+            "MSA_TPU_RB_ALIGN": "128",
+            "MSA_TPU_RB_CONVEYOR": "128",
+            "MSA_TPU_MAX_SEQ_LEN": "512",
+        },
+    )
+    lines = [l for l in outs[0].splitlines() if not l.startswith("[Gloo]")]
+    assert lines[1] == MSEQ1_HASH
+    assert lines[2] == MSEQ1_PENALTIES.rstrip("\n")
 
 
 def test_two_process_checkpoint_journals(tmp_path):

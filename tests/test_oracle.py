@@ -174,3 +174,39 @@ def test_native_score_matches_numpy():
         x = "".join(rng.choice("ACGT") for _ in range(m))
         y = "".join(rng.choice("ACGT") for _ in range(n))
         assert nw_score_native(x, y, 3, 2) == nw_score_numpy(x, y, 3, 2)
+
+
+def test_blocked_oracle_matches_full():
+    """The memory-bounded blocked traceback is exactly the full-matrix one.
+
+    The blocked path is the host oracle for pairs too big to materialize
+    (the r2 adversarial-conformance timeout); exercise block boundaries with
+    a tiny block size, including repetitive sequences (tie-break pressure).
+    """
+    import random
+
+    from msa_tpu.ops.reference import nw_align_numpy_blocked
+
+    rng = random.Random(12)
+    cases = []
+    for _ in range(8):
+        m, n = rng.randint(30, 400), rng.randint(30, 400)
+        cases.append((
+            "".join(rng.choice("ACGT") for _ in range(m)),
+            "".join(rng.choice("ACGT") for _ in range(n)),
+        ))
+    cases.append(("ACAC" * 60 + "GG", "ACAC" * 70))  # repeats
+    for x, y in cases:
+        full = (
+            nw_dp_matrix(x, y, 3, 2),
+        )
+        dp = full[0]
+        dirs = nw_dirs(dp, x, y, 3, 2)
+        from msa_tpu.ops.reference import walk_dirs
+
+        moves = walk_dirs(dirs, len(x), len(y))
+        a1, a2 = moves_to_alignment(x, y, moves)
+        want = (int(dp[len(x), len(y)]), a1, a2)
+        assert nw_align_numpy_blocked(x, y, 3, 2, block=64) == want
+        assert nw_align_numpy_blocked(x, y, 5, 1, block=37) == \
+            nw_align_numpy_blocked(x, y, 5, 1, block=10**9)

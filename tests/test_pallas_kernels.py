@@ -135,3 +135,32 @@ def test_conveyor_interpret(monkeypatch):
     )
     for (i, j), res in zip(pairs, got):
         assert res == nw_align_numpy(genes[i], genes[j], 3, 2), (i, j)
+
+
+def test_conveyor_planner_event_collisions():
+    """Score events must never collide in a K-chunk (planner defers starts).
+
+    A long-n pair followed by a short-n pair can place two pairs' dp[m][n]
+    events in the same chunk; build_chunk_tables holds one event per chunk,
+    so plan_conveyor must defer the colliding band. Fuzz the planner over
+    random workloads (host-only — no kernel launch).
+    """
+    import msa_tpu.ops.conveyor as conv
+
+    rng = np.random.default_rng(3)
+    for trial in range(30):
+        k = int(rng.integers(2, 9))
+        lens = [int(rng.integers(1, 4000)) for _ in range(k)]
+        genes = ["A" * L for L in lens]
+        pairs = [(i, j) for i in range(1, k) for j in range(i)]
+        order = sorted(
+            range(len(pairs)),
+            key=lambda idx: -(
+                lens[pairs[idx][0]] + lens[pairs[idx][1]]
+            ),
+        )
+        plan = conv.plan_conveyor(
+            genes, [pairs[idx] for idx in order], rb=1024
+        )
+        t = conv.build_chunk_tables(plan)  # raises on collision
+        assert (t[:, 8] >= 0).sum() == len(pairs), trial

@@ -80,6 +80,11 @@ def test_config_is_kernel_source_of_truth():
     assert pallas_walk.SMALL_THRESHOLD == DEFAULT.small_threshold
     assert batch.P_GROUP == DEFAULT.p_group
 
+    from msa_tpu.ops import conveyor
+
+    assert conveyor.RB_CONV == DEFAULT.rb_conveyor
+    assert conveyor.RB_CONV % DEFAULT.snap_k == 0
+
 
 def test_stage_timer_and_gcups():
     t = StageTimer()
