@@ -116,13 +116,15 @@ def plan_conveyor(
         pred_row = 0  # analytic for the first band
         for b in range(nb):
             if bands:
-                # >= prev_n + 1: regions stay disjoint (lane q frees at
-                # prev dl = q + n, last lane-0 read at prev dl = n).
-                # >= rb + K: at most one band ramping AND the ramp's chunk
-                # entries (ceil((rb+1)/K) chunks) never collide.
+                # >= prev_n + K: regions stay disjoint (lane q frees at
+                # prev dl = q + n) INCLUDING the ramp's whole-chunk x-tile
+                # merge, which writes a chunk's K lanes at the chunk START
+                # — up to K-1 steps before each lane activates.
+                # >= rb + K: at most one band ramping (the x-tile stage
+                # holds one band) AND ramp chunk entries never collide.
                 # Same-pair: predecessor's boundary row must be harvested
                 # (rb steps) and flushed (chunk + DMA margin) first.
-                stagger = max(prev_n + 1, rb + K)
+                stagger = max(prev_n + K, rb + K)
                 if b > 0:
                     stagger = max(stagger, rb + 2 * K)
                 start = _round_up(bands[-1].start + stagger, K)
@@ -175,8 +177,10 @@ def build_chunk_tables(plan: ConveyorPlan) -> np.ndarray:
     cols: 0 ramp_active, 1 ramp_start, 2 ramp_i0,
           3 top_src slot, 4 top_off (lane offset, K-aligned),
           5 bot_slot, 6 bot_off, 7 bot_active,
-          8 ev_local_step (-1 = none), 9 ev_q, 10 ev_out_slot.
-    Rows are 128 wide (cols 11+ unused) so the kernel can fetch the table
+          8 ev_local_step (-1 = none), 9 ev_q, 10 ev_out_slot,
+          11 ramp_first (1 at a band's first ramp chunk -> x-tile DMA),
+          12 band index (x-tile row for ramp chunks).
+    Rows are 128 wide (cols 13+ unused) so the kernel can fetch the table
     in (8, 128) SMEM blocks — Mosaic's minimum block tiling.
     """
     rb = plan.rb
@@ -184,16 +188,18 @@ def build_chunk_tables(plan: ConveyorPlan) -> np.ndarray:
     t[:, 8] = -1
     trash = plan.n_slots - 1
     t[:, 5] = trash
-    for bp in plan.bands:
+    for bi, bp in enumerate(plan.bands):
         c0 = bp.start // K
-        # Ramp (x char + left border injection): local dl in [0, rb]; keep
-        # the inject on through the whole ramp's chunks (extra steps write
-        # pad lanes only — harmless, proven in the module docstring).
+        # Ramp (x-tile merge + left border injection): local dl in [0, rb];
+        # keep the inject on through the whole ramp's chunks (extra steps
+        # write pad lanes only — harmless, proven in the module docstring).
         ramp_chunks = -(-(rb + 1) // K)
         for c in range(c0, min(c0 + ramp_chunks, plan.n_chunks)):
             t[c, 0] = 1
             t[c, 1] = bp.start
             t[c, 2] = bp.i0
+            t[c, 11] = 1 if c == c0 else 0
+            t[c, 12] = bi
         # Top feed: this band owns lane 0 for local steps [0, n + 1]; its
         # values are brow[brow_in][t] (col t). Chunks may overlap the next
         # band's start only at the boundary chunk, where the next band's
@@ -224,37 +230,50 @@ def build_chunk_tables(plan: ConveyorPlan) -> np.ndarray:
     jax.jit, static_argnames=("xp", "n_chunks", "rb")
 )
 def _build_feeds(gene_table, band_specs, *, xp, n_chunks, rb):
-    """Device-side conveyor feed streams from the int8 gene table.
+    """Device-side conveyor y-char stream from the int8 gene table.
 
     band_specs: (NBANDS, 4) int32 rows (start, xi, yi, i0). Returns
-    x_conv, y_conv: (1, n_chunks*K) int32 (sentinels outside band spans).
+    y_conv: (1, n_chunks*K) int32 (sentinels outside band spans). The x
+    chars ride per-band column-major tiles instead (``_build_xtiles``).
     """
     total = n_chunks * K
     # Oversize by one gene-row width: the per-band updates write fixed-size
     # slices that may overhang the live region near the end of the
     # schedule; without the margin dynamic_update_slice would CLAMP the
     # start index and corrupt the stream.
-    x_conv = jnp.full((total + xp,), X_SENTINEL, jnp.int32)
     y_conv = jnp.full((total + xp,), Y_SENTINEL, jnp.int32)
     for r in range(band_specs.shape[0]):
         start = band_specs[r, 0]
-        xi = band_specs[r, 1]
         yi = band_specs[r, 2]
-        i0 = band_specs[r, 3]
-        # x chars: x_conv[start + t] = code(x[i0 + t - 1]) for t in [1, rb];
-        # gene_table row xi is the shifted layout (table[xi, u] = x[u-1]).
-        xrow = jax.lax.dynamic_index_in_dim(
-            gene_table, xi, keepdims=False
-        ).astype(jnp.int32)
-        xslice = jax.lax.dynamic_slice(xrow, (i0,), (rb + 1,))
-        x_conv = jax.lax.dynamic_update_slice(x_conv, xslice, (start,))
         # y chars: y_conv[start + t] = code(y[t - 1]) for t in [1, n].
         yrow = jax.lax.dynamic_index_in_dim(
             gene_table, yi, keepdims=False
         ).astype(jnp.int32)
         yslice = jax.lax.dynamic_slice(yrow, (0,), (xp,))
         y_conv = jax.lax.dynamic_update_slice(y_conv, yslice, (start,))
-    return x_conv[None, :total], y_conv[None, :total]
+    return y_conv[None, :total]
+
+
+@functools.partial(jax.jit, static_argnames=("v_len",))
+def _build_xtiles(gene_table, band_specs, *, v_len):
+    """Per-band x-char tiles in the sweep's column-major state layout.
+
+    Tile row ``[r, c]`` holds code(x[i0 + q - 1]) at flat q = c*R + r —
+    the exact xv state a fully-ramped band carries. The sweep DMAs one
+    tile per band at its first ramp chunk and merges it into xv one
+    K-lane range per ramp chunk (instead of one scalar per step).
+    """
+    R = v_len // LANES
+
+    def one(carry, spec):
+        xrow = jax.lax.dynamic_index_in_dim(
+            gene_table, spec[1], keepdims=False
+        ).astype(jnp.int32)
+        sl = jax.lax.dynamic_slice(xrow, (spec[3],), (v_len,))
+        return carry, sl.reshape(LANES, R).T
+
+    _, tiles = jax.lax.scan(one, None, band_specs)
+    return tiles
 
 
 def _shift_insert(v, elem, row_mask, lane_mask):
@@ -275,7 +294,7 @@ def _shift_insert(v, elem, row_mask, lane_mask):
 def _conveyor_sweep_call(
     params: jnp.ndarray,  # (8,) int32: pxy, pgap, ...
     tables: jnp.ndarray,  # (n_chunks, 128) int32, see build_chunk_tables
-    x_conv: jnp.ndarray,  # (1, n_chunks*K) int32 ramp x-char stream
+    xtiles: jnp.ndarray,  # (n_bands, R, LANES) int32 per-band x tiles
     y_conv: jnp.ndarray,  # (1, n_chunks*K) int32 y-char stream
     *,
     n_chunks: int,
@@ -293,11 +312,11 @@ def _conveyor_sweep_call(
     rb_col = rb // R
 
     def kernel(
-        params_ref, tables_ref, x_ref, y_ref,
+        params_ref, tables_ref, xtiles_ref, y_ref,
         scores_ref, snaps_ref, brow_ref,
         s_prev1, s_prev1s, s_prev2s, s_yd, s_xv,
-        top_stage, bot_stage, snap_stage, an_stage,
-        sem_top, sem_bot, sem_snap, sem_an,
+        top_stage, bot_stage, snap_stage, an_stage, xtile_stage,
+        sem_top, sem_bot, sem_snap, sem_an, sem_xt,
     ):
         g = pl.program_id(0)
         pxy = params_ref[0]
@@ -344,6 +363,8 @@ def _conveyor_sweep_call(
         ev_local = tables_ref[tr, 8]
         ev_q = tables_ref[tr, 9]
         ev_out = tables_ref[tr, 10]
+        ramp_first = tables_ref[tr, 11]
+        band_idx = tables_ref[tr, 12]
 
         cp_top = pltpu.make_async_copy(
             brow_ref.at[top_src, :, pl.ds(pl.multiple_of(top_off, K), K)],
@@ -353,24 +374,45 @@ def _conveyor_sweep_call(
         cp_top.start()
         cp_top.wait()
 
+        base_dl = g * K - rstart  # ramp band's local dl at chunk start
+
+        @pl.when(ramp == 1)
+        def _():
+            # Fetch the ramping band's x tile once (bands' ramps never
+            # overlap: stagger >= rb + K), then merge this chunk's K-lane
+            # activation range into xv — ONE masked select per chunk
+            # replaces the old per-step scalar x injection. Early-writing
+            # a lane up to K-1 steps before it activates is safe: the
+            # previous owner's last read is >= K steps gone (plan stagger
+            # >= prev_n + K) and the new cells' cur is overwritten by the
+            # left-border inject at activation.
+            @pl.when(ramp_first == 1)
+            def _():
+                cp_x = pltpu.make_async_copy(
+                    xtiles_ref.at[band_idx], xtile_stage, sem_xt
+                )
+                cp_x.start()
+                cp_x.wait()
+
+            in_range = (flat_q >= base_dl) & (flat_q < base_dl + K)
+            s_xv[:, :] = jnp.where(in_range, xtile_stage[:, :], s_xv[:, :])
+
         prev1 = s_prev1[:, :]
         prev1s = s_prev1s[:, :]
         prev2s = s_prev2s[:, :]
         yd = s_yd[:, :]
         xv = s_xv[:, :]
 
-        base_dl = g * K - rstart  # ramp band's local dl at chunk start
-
         def make_chunk(with_ramp, snap=False):
             def body(c8, carry):
-                prev1, prev1s, prev2s, yd, xv = carry
+                prev1, prev1s, prev2s, yd = carry
                 sbase = pl.multiple_of(c8 * LANES, LANES)
                 ychunk = y_ref[0:1, pl.ds(sbase, LANES)]
                 topchunk = top_stage[0:1, pl.ds(sbase, LANES)]
                 bacc = jnp.zeros((1, LANES), jnp.int32)
 
                 def step(si, icarry):
-                    (prev1, prev1s, prev2s, yd, xv, ychunk, topchunk,
+                    (prev1, prev1s, prev2s, yd, ychunk, topchunk,
                      bacc) = icarry
                     s_local = sbase + si
 
@@ -381,10 +423,12 @@ def _conveyor_sweep_call(
                     cur = jnp.minimum(t1, t2)
                     cur = jnp.where(top_mask, topchunk, cur)
                     if with_ramp:
+                        # Left-border inject at the advancing frontier;
+                        # the x chars are already in xv (tile merge above).
                         dl_n = base_dl + s_local
-                        bmask = flat_q == dl_n
-                        cur = jnp.where(bmask, (ri0 + dl_n) * pgap, cur)
-                        xv = jnp.where(bmask, x_ref[0, s_local], xv)
+                        cur = jnp.where(
+                            flat_q == dl_n, (ri0 + dl_n) * pgap, cur
+                        )
 
                     # Score event: one pair's dp[m][n] surfaces this chunk.
                     @pl.when(s_local == ev_local)
@@ -434,26 +478,25 @@ def _conveyor_sweep_call(
                         cur_s,
                         prev1s,
                         yd,
-                        xv,
                         ychunk,
                         topchunk,
                         bacc,
                     )
 
-                (prev1, prev1s, prev2s, yd, xv, _, _, bacc) = (
+                (prev1, prev1s, prev2s, yd, _, _, bacc) = (
                     jax.lax.fori_loop(
                         0, LANES, step,
-                        (prev1, prev1s, prev2s, yd, xv, ychunk, topchunk,
+                        (prev1, prev1s, prev2s, yd, ychunk, topchunk,
                          bacc),
                         unroll=unroll,
                     )
                 )
                 bot_stage[0:1, pl.ds(sbase, LANES)] = bacc
-                return (prev1, prev1s, prev2s, yd, xv)
+                return (prev1, prev1s, prev2s, yd)
 
             return body
 
-        init = (prev1, prev1s, prev2s, yd, xv)
+        init = (prev1, prev1s, prev2s, yd)
 
         @pl.when(ramp == 1)
         def _():
@@ -463,7 +506,6 @@ def _conveyor_sweep_call(
             s_prev1s[:, :] = out[1]
             s_prev2s[:, :] = out[2]
             s_yd[:, :] = out[3]
-            s_xv[:, :] = out[4]
 
         @pl.when(ramp == 0)
         def _():
@@ -473,7 +515,6 @@ def _conveyor_sweep_call(
             s_prev1s[:, :] = out[1]
             s_prev2s[:, :] = out[2]
             s_yd[:, :] = out[3]
-            s_xv[:, :] = out[4]
 
         # Bottom boundary-row flush: this chunk's lane-rb harvest is the
         # owner band's dp[i0+rb][col] for cols [bot_off, bot_off+K).
@@ -497,9 +538,7 @@ def _conveyor_sweep_call(
             pl.BlockSpec(
                 (8, 128), lambda g: (g // 8, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec(
-                (1, K), lambda g: (0, g), memory_space=pltpu.SMEM
-            ),  # x stream (scalar reads in the ramp inject)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # per-band x tiles
             pl.BlockSpec(
                 (1, K), lambda g: (0, g), memory_space=pltpu.VMEM
             ),  # y stream
@@ -524,6 +563,8 @@ def _conveyor_sweep_call(
             pltpu.VMEM((1, K), jnp.int32),  # bottom harvest stage
             pltpu.VMEM((3, LANES, R), jnp.int32),  # snapshot stage
             pltpu.VMEM((1, ymax), jnp.int32),  # analytic row stage
+            pltpu.VMEM((R, LANES), jnp.int32),  # ramping band's x tile
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -531,8 +572,69 @@ def _conveyor_sweep_call(
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(params, tables, x_conv, y_conv)
+    )(params, tables, xtiles, y_conv)
     return scores, snaps, brow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "xp", "n_chunks", "rb", "v_len", "ymax", "n_slots", "n_pairs",
+        "interpret", "unroll",
+    ),
+)
+def _conveyor_fill_device(
+    gene_table, band_specs, tables16, params, *,
+    xp, n_chunks, rb, v_len, ymax, n_slots, n_pairs,
+    interpret=False, unroll=128,
+):
+    """One-dispatch fill: feeds + x tiles + table pad + sweep.
+
+    ``tables16``: the compact (n_chunks, 16) chunk table (columns 0..12
+    used); padding to the kernel's 128-wide SMEM rows happens on device so
+    only ~1/8 of the table crosses the host->device link (the link is slow
+    in this environment, and fused dispatch also saves per-call latency —
+    the banded path's one-call-per-group structure, applied to the sweep).
+    """
+    y_conv = _build_feeds(
+        gene_table, band_specs, xp=xp, n_chunks=n_chunks, rb=rb
+    )
+    xtiles = _build_xtiles(gene_table, band_specs, v_len=v_len)
+    tables = jnp.pad(tables16, ((0, 0), (0, 128 - tables16.shape[1])))
+    return _conveyor_sweep_call(
+        params, tables, xtiles, y_conv,
+        n_chunks=n_chunks, rb=rb, v_len=v_len, ymax=ymax,
+        n_slots=n_slots, n_pairs=n_pairs,
+        interpret=interpret, unroll=unroll,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "p1", "yfw_len", "yrev_len", "y_cap", "ypad_len",
+        "p_group", "g8", "num_bands", "rb", "v_len", "interpret",
+    ),
+)
+def _conveyor_group_walk(
+    snaps_flat, brow, gene_table, gpp_g, *,
+    p1, yfw_len, yrev_len, y_cap, ypad_len,
+    p_group, g8, num_bands, rb, v_len, interpret=False,
+):
+    """One-dispatch group walk: feed build + the P-wide walk kernel."""
+    xs_s, yfw_s, yrev_s, wparams = _group_walk_inputs(
+        gene_table, gpp_g,
+        p1=p1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
+        ypad_len=ypad_len,
+    )
+    from msa_tpu.ops.pallas_walk import _walk_call
+
+    return _walk_call(
+        snaps_flat, brow, xs_s, yfw_s, yrev_s, wparams,
+        p_group=p_group, g8=g8, num_bands=num_bands,
+        rb=rb, v_len=v_len, interpret=interpret,
+        rows_at_col_index=True,
+    )
 
 
 @functools.partial(
@@ -617,15 +719,12 @@ def align_pairs_conveyor(
         [[bp.start, bp.xi, bp.yi, bp.i0] for bp in plan.bands],
         dtype=np.int32,
     )
-    x_conv, y_conv = _build_feeds(
-        table_dev, jnp.asarray(band_specs),
-        xp=Xp, n_chunks=plan.n_chunks, rb=rb,
-    )
-    scores_d, snaps, brow = _conveyor_sweep_call(
+    scores_d, snaps, brow = _conveyor_fill_device(
+        table_dev,
+        jnp.asarray(band_specs),
+        jnp.asarray(np.ascontiguousarray(tables[:, :16])),
         jnp.asarray(np.array([pxy, pgap, 0, 0, 0, 0, 0, 0], np.int32)),
-        jnp.asarray(tables),
-        x_conv,
-        y_conv,
+        xp=Xp,
         n_chunks=plan.n_chunks,
         rb=rb,
         v_len=v_len,
@@ -662,25 +761,12 @@ def align_pairs_conveyor(
 
     futs = []
     for g in range(n_groups):
-        xs_s, yfw_s, yrev_s, wparams = _group_walk_inputs(
-            table_dev, gpp[g],
+        moves, meta = _conveyor_group_walk(
+            snaps_flat, brow, table_dev, gpp[g],
             p1=P1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
             ypad_len=y_cap,
-        )
-        moves, meta = _walk_call(
-            snaps_flat,
-            brow,
-            xs_s,
-            yfw_s,
-            yrev_s,
-            wparams,
-            p_group=P_GROUP,
-            g8=g8,
-            num_bands=nb_max,
-            rb=rb,
-            v_len=v_len,
-            interpret=interpret,
-            rows_at_col_index=True,
+            p_group=P_GROUP, g8=g8, num_bands=nb_max,
+            rb=rb, v_len=v_len, interpret=interpret,
         )
         futs.append((moves, meta))
 

@@ -29,16 +29,21 @@ def e2e_sweep(args):
     import subprocess
 
     grid = list(itertools.product(
+        args.fill_modes.split(","),
         [int(v) for v in args.snap_ks.split(",")],
         [int(v) for v in args.p_groups.split(",")],
         [int(v) for v in args.rb_aligns.split(",")],
     ))
     records = []
-    for snap_k, p_group, rb_align in grid:
+    for fill_mode, snap_k, p_group, rb_align in grid:
         env = dict(os.environ)
+        env["MSA_TPU_FILL_MODE"] = fill_mode
         env["MSA_TPU_SNAP_K"] = str(snap_k)
         env["MSA_TPU_P_GROUP"] = str(p_group)
         env["MSA_TPU_RB_ALIGN"] = str(rb_align)
+        # Conveyor band height must stay a K multiple (band starts and
+        # boundary-row flushes are K-aligned) — derive the closest one.
+        env["MSA_TPU_RB_CONVEYOR"] = str((31744 // snap_k) * snap_k)
         reps = []
         for _ in range(args.reps):
             out = subprocess.run(
@@ -53,6 +58,7 @@ def e2e_sweep(args):
         vals = [r.get("value", 0.0) for r in reps]
         rec = {
             "kernel": "e2e_big13",
+            "fill_mode": fill_mode,
             "snap_k": snap_k,
             "p_group": p_group,
             "rb_align": rb_align,
@@ -82,6 +88,7 @@ def main():
     parser.add_argument("--snap-ks", default="512,1024")
     parser.add_argument("--p-groups", default="4,8,16")
     parser.add_argument("--rb-aligns", default="32640")
+    parser.add_argument("--fill-modes", default="banded,conveyor")
     args = parser.parse_args()
     if args.e2e:
         return e2e_sweep(args)

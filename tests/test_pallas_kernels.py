@@ -126,12 +126,18 @@ def test_conveyor_interpret(monkeypatch):
 
     monkeypatch.setattr(conv, "CHUNK_PAD", 1)
     rng = np.random.default_rng(11)
+    # rb must stay a multiple of the walk segment K (band starts and
+    # boundary-row flushes are K-aligned); scale the geometry with K so the
+    # suite stays valid under MSA_TPU_SNAP_K overrides.
+    rb = max(conv.K, 1024)
+    scale = rb // 1024
     genes = [
-        _rand_seq(rng, n) for n in (1400, 2100, 900, 2600, 1300)
+        _rand_seq(rng, n * scale)
+        for n in (1400, 2100, 900, 2600, 1300)
     ]
     pairs = [(i, j) for i in range(1, 5) for j in range(i)]  # 10 pairs
     got = conv.align_pairs_conveyor(
-        genes, pairs, 3, 2, interpret=True, rb=1024
+        genes, pairs, 3, 2, interpret=True, rb=rb
     )
     for (i, j), res in zip(pairs, got):
         assert res == nw_align_numpy(genes[i], genes[j], 3, 2), (i, j)
