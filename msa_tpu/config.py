@@ -41,6 +41,11 @@ class EngineConfig:
     # Pairs per walk launch, riding the VPU sublane dim. 8 measured best
     # (16: 91.5 vs 93.2 GCUPS at the time of measurement).
     p_group: int = 8
+    # Conveyor walk groups per dispatch (lax.scan chunk). Each dispatch and
+    # each result fetch pays tens of ms of link latency here; scanning
+    # several groups per call amortizes it while leaving enough calls for
+    # host decode to overlap the device's remaining walks.
+    walk_scan_groups: int = 4
     # Below this m*n, pairs run on the jnp full-dirs path instead of the
     # banded Pallas fill + walk.
     small_threshold: int = 1 << 21

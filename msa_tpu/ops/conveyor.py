@@ -639,6 +639,40 @@ def _conveyor_group_walk(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "p1", "yfw_len", "yrev_len", "y_cap", "ypad_len",
+        "p_group", "g8", "num_bands", "rb", "v_len", "interpret",
+    ),
+)
+def _conveyor_walk_scan(
+    snaps_flat, brow, gene_table, gpp_chunk, *,
+    p1, yfw_len, yrev_len, y_cap, ypad_len,
+    p_group, g8, num_bands, rb, v_len, interpret=False,
+):
+    """Several groups' walks in ONE dispatch (lax.scan over groups).
+
+    The host<->device link here pays tens of ms latency per dispatch AND
+    per fetch; scanning ``walk_scan_groups`` groups per call cuts both by
+    that factor while keeping enough calls for the host's move decode to
+    overlap the device's remaining walks. Outputs are stacked
+    (G, g8, P, K//16) / (G, g8, P, 8).
+    """
+    def body(carry, gpp_g):
+        moves, meta = _conveyor_group_walk(
+            snaps_flat, brow, gene_table, gpp_g,
+            p1=p1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
+            ypad_len=ypad_len,
+            p_group=p_group, g8=g8, num_bands=num_bands,
+            rb=rb, v_len=v_len, interpret=interpret,
+        )
+        return carry, (moves, meta)
+
+    _, (moves_s, meta_s) = jax.lax.scan(body, None, gpp_chunk)
+    return moves_s, meta_s
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("p1", "yfw_len", "yrev_len", "y_cap", "ypad_len"),
 )
 def _group_walk_inputs(
@@ -757,31 +791,51 @@ def align_pairs_conveyor(
         rows[slot, 26] = P1 + P0 + n - y_cap
     gpp = jnp.asarray(rows).reshape(-1, P_GROUP, 32)
     n_groups = p_pad // P_GROUP
-    g8 = walk_slot_budget(nb_max * rb + y_cap, nb_max)
+    # Slot budget sized to the WORKLOAD, not the cap: a pair's walk needs
+    # at most (m+n)//K + 2*nb + 4 slots (walk_slot_budget); bucket to 64 so
+    # similar workloads share one compile. Shorter-pair groups just finish
+    # early (any_active skips their tail slots).
+    need = max(
+        walk_slot_budget(
+            len(genes[i]) + len(genes[j]), nb_max
+        )
+        for i, j in ordered
+    )
+    g8 = min(
+        walk_slot_budget(nb_max * rb + y_cap, nb_max),
+        _round_up(need, 64),
+    )
 
+    # Dispatch the walks in scan chunks: each call walks several groups
+    # (one dispatch + one fetch per chunk), and the host decodes chunk c
+    # while the device walks chunk c+1.
+    CH = max(1, DEFAULT.walk_scan_groups)
     futs = []
-    for g in range(n_groups):
-        moves, meta = _conveyor_group_walk(
-            snaps_flat, brow, table_dev, gpp[g],
+    for c0 in range(0, n_groups, CH):
+        chunk = gpp[c0 : min(c0 + CH, n_groups)]
+        moves_s, meta_s = _conveyor_walk_scan(
+            snaps_flat, brow, table_dev, chunk,
             p1=P1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
             ypad_len=y_cap,
             p_group=P_GROUP, g8=g8, num_bands=nb_max,
             rb=rb, v_len=v_len, interpret=interpret,
         )
-        futs.append((moves, meta))
+        futs.append((c0, moves_s, meta_s))
 
     scores = np.asarray(scores_d).reshape(-1)
     out: List[Tuple[int, str, str]] = [None] * num  # type: ignore
-    for g, (moves_d, meta_d) in enumerate(futs):
-        words = np.asarray(moves_d)  # (g8, P, K//16)
-        meta = np.asarray(meta_d)
-        for p in range(P_GROUP):
-            slot = g * P_GROUP + p
-            if slot >= num:
-                break
-            idx = order[slot]
-            mv = decode_moves(words[:, p, :], meta[:, p, 0])
-            i, j = pairs[idx]
-            a1, a2 = moves_to_alignment(genes[i], genes[j], mv)
-            out[idx] = (int(scores[slot]), a1, a2)
+    for c0, moves_s, meta_s in futs:
+        words_c = np.asarray(moves_s)  # (G, g8, P, K//16)
+        meta_c = np.asarray(meta_s)
+        for gl in range(words_c.shape[0]):
+            g = c0 + gl
+            for p in range(P_GROUP):
+                slot = g * P_GROUP + p
+                if slot >= num:
+                    break
+                idx = order[slot]
+                mv = decode_moves(words_c[gl, :, p, :], meta_c[gl, :, p, 0])
+                i, j = pairs[idx]
+                a1, a2 = moves_to_alignment(genes[i], genes[j], mv)
+                out[idx] = (int(scores[slot]), a1, a2)
     return out

@@ -33,9 +33,17 @@ def analytic_cost(m: int, n: int) -> int:
 
 
 def calibrate(
-    sample_len: int = 20000, reps: int = 2
+    sample_len: int = 20000, small_len: int = 2048, reps: int = 2
 ) -> Optional[CalibratedCost]:
-    """Measure fill throughput on the local device (None off-accelerator)."""
+    """Measure fill throughput AND per-pair fixed cost on the local device.
+
+    Two timed pair sizes solve cost(m, n) = fixed_us + cells/rate for both
+    terms — the fixed term is the whole advantage of the measured model over
+    analytic m*n (the reference's testing11 finding: small pairs cost far
+    more than their cells predict, ``testing11/test.cpp:150-267``). Returns
+    None off-accelerator. ``nw_score_pallas`` returns a host int, so each
+    call is synchronous (block_until_ready is unreliable on this platform).
+    """
     import jax
 
     if jax.default_backend() == "cpu":
@@ -45,16 +53,22 @@ def calibrate(
     from msa_tpu.ops.pallas_nw import nw_score_pallas
 
     rng = np.random.default_rng(0)
-    x = "".join(rng.choice(list("ACGT"), sample_len))
-    y = "".join(rng.choice(list("ACGT"), sample_len))
-    nw_score_pallas(x, y, 3, 2)  # compile
-    t0 = time.time()
-    nw_score_pallas(x, y, 3, 2)
-    fixed_probe = time.time() - t0
-    best = fixed_probe
-    for _ in range(reps - 1):
-        t0 = time.time()
-        nw_score_pallas(x, y, 3, 2)
-        best = min(best, time.time() - t0)
-    gcups = sample_len * sample_len / best / 1e9
-    return CalibratedCost(gcups=max(gcups, 1.0))
+
+    def timed(n: int) -> float:
+        x = "".join(rng.choice(list("ACGT"), n))
+        y = "".join(rng.choice(list("ACGT"), n))
+        nw_score_pallas(x, y, 3, 2)  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            nw_score_pallas(x, y, 3, 2)
+            best = min(best, time.time() - t0)
+        return best
+
+    t_small = timed(small_len)
+    t_big = timed(sample_len)
+    d_cells = sample_len * sample_len - small_len * small_len
+    d_t = max(t_big - t_small, 1e-6)
+    gcups = max(d_cells / d_t / 1e9, 1.0)
+    fixed_us = max(t_small * 1e6 - small_len * small_len / gcups / 1e3, 0.0)
+    return CalibratedCost(gcups=gcups, fixed_us=fixed_us)
