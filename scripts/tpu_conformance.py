@@ -52,7 +52,29 @@ def run_golden(path, prefix, backend):
     return ok
 
 
-def run_cross(path, backend):
+def _recorded_golden(path):
+    """Recorded host-oracle output (data/host_goldens.jsonl), if any.
+
+    The blocked numpy oracle takes ~12 min on the adversarial dataset; its
+    output is recorded once (analog of the reference's committed ``.out``
+    goldens) so routine conformance runs gate against the recording.
+    ``--recompute-host`` forces the live oracle instead.
+    """
+    import json
+    import os
+
+    p = "/root/repo/data/host_goldens.jsonl"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["dataset"] == path:
+                return rec
+    return None
+
+
+def run_cross(path, backend, recompute_host=False):
     from msa_tpu.models.kway import align_kway
     from msa_tpu.utils.msaio import parse_file
 
@@ -60,23 +82,35 @@ def run_cross(path, backend):
     t0 = time.time()
     dev = align_kway(problem, backend=backend)
     dt = time.time() - t0
-    # Host oracle: native C++ for small inputs, vectorized numpy for huge
-    # ones (the scalar C++ fill is ~100x slower than the device on 1e10
-    # cells). The numpy oracle is memory-bounded per pair: above
-    # FULL_MATRIX_CELL_CAP it uses the blocked checkpoint-row traceback
-    # (ops/reference.nw_align_numpy_blocked) instead of materializing the
-    # full dp+dirs — the r2 adversarial run timed out exactly there.
-    cells = sum(
-        len(problem.genes[i]) * len(problem.genes[j])
-        for i in range(1, problem.k)
-        for j in range(i)
-    )
-    host_backend = "native" if cells < 5e8 else "numpy"
-    host = align_kway(problem, backend=host_backend)
-    ok = dev.chain_hash == host.chain_hash and dev.penalties == host.penalties
+    rec = None if recompute_host else _recorded_golden(path)
+    if rec is not None:
+        ok = (
+            dev.chain_hash == rec["chain_hash"]
+            and dev.penalties == rec["penalties"]
+        )
+        src = "recorded host golden"
+    else:
+        # Host oracle: native C++ for small inputs, vectorized numpy for
+        # huge ones (the scalar C++ fill is ~100x slower than the device on
+        # 1e10 cells). The numpy oracle is memory-bounded per pair: above
+        # FULL_MATRIX_CELL_CAP it uses the blocked checkpoint-row traceback
+        # (ops/reference.nw_align_numpy_blocked) instead of materializing
+        # the full dp+dirs — the r2 adversarial run timed out exactly there.
+        cells = sum(
+            len(problem.genes[i]) * len(problem.genes[j])
+            for i in range(1, problem.k)
+            for j in range(i)
+        )
+        host_backend = "native" if cells < 5e8 else "numpy"
+        host = align_kway(problem, backend=host_backend)
+        ok = (
+            dev.chain_hash == host.chain_hash
+            and dev.penalties == host.penalties
+        )
+        src = "live host oracle"
     print(
         f"{path}: {'PASS' if ok else 'FAIL'} {dt:.2f}s"
-        " (cross-checked vs host oracle)",
+        f" (cross-checked vs {src})",
         flush=True,
     )
     return ok
@@ -88,6 +122,10 @@ def main():
     parser.add_argument(
         "--skip-big", action="store_true", help="only mseq/mseq1"
     )
+    parser.add_argument(
+        "--recompute-host", action="store_true",
+        help="run the live host oracle instead of recorded goldens",
+    )
     args = parser.parse_args()
 
     failures = 0
@@ -98,7 +136,12 @@ def main():
     for path in CROSS_CHECK:
         if args.skip_big and "adversarial" in path:
             continue
-        failures += 0 if run_cross(path, args.backend) else 1
+        failures += (
+            0
+            if run_cross(path, args.backend,
+                         recompute_host=args.recompute_host)
+            else 1
+        )
     print("ALL PASS" if not failures else f"{failures} FAILURES", flush=True)
     return 1 if failures else 0
 
