@@ -138,6 +138,18 @@ def plan_conveyor(
                 while (start + q_last + n) // K in ev_chunks:
                     start += K
                 ev_chunks.add((start + q_last + n) // K)
+            if bands:
+                # Cross-file safety invariant: the kernel's whole-chunk
+                # x-tile early write (_conveyor_kernel ramp merge) writes a
+                # ramp chunk's K lanes at the chunk START — it is only
+                # race-free because every lane of the previous band has
+                # freed (prev dl = q + prev_n) at least K steps earlier.
+                # A future stagger tweak must not weaken this.
+                assert start - bands[-1].start >= prev_n + K, (
+                    "conveyor stagger violates the x-tile merge invariant: "
+                    f"start={start} prev_start={bands[-1].start} "
+                    f"prev_n={prev_n} K={K}"
+                )
             bp = BandPlan(
                 pair_slot=pslot,
                 band=b,
@@ -775,7 +787,14 @@ def align_pairs_conveyor(
     for bp in plan.bands:
         by_slot.setdefault(bp.pair_slot, []).append(bp)
 
-    p_pad = -(-num // P_GROUP) * P_GROUP
+    # Pad the group count up to a multiple of the walk-scan chunk so every
+    # scan dispatch shares ONE compiled shape (a ragged last chunk would
+    # retrace the Pallas walk — a multi-second compile the scan-chunking is
+    # there to avoid). Padding slots replicate pair num-1 (the cheapest:
+    # `ordered` is sorted descending), whose extra walks the kernel's
+    # any_active guard makes nearly free.
+    CH = max(1, DEFAULT.walk_scan_groups)
+    p_pad = -(-num // (P_GROUP * CH)) * (P_GROUP * CH)
     rows = np.zeros((p_pad, 32), dtype=np.int32)
     for slot in range(p_pad):
         pslot = slot if slot < num else num - 1
@@ -809,7 +828,6 @@ def align_pairs_conveyor(
     # Dispatch the walks in scan chunks: each call walks several groups
     # (one dispatch + one fetch per chunk), and the host decodes chunk c
     # while the device walks chunk c+1.
-    CH = max(1, DEFAULT.walk_scan_groups)
     futs = []
     for c0 in range(0, n_groups, CH):
         chunk = gpp[c0 : min(c0 + CH, n_groups)]

@@ -67,8 +67,18 @@ def calibrate(
 
     t_small = timed(small_len)
     t_big = timed(sample_len)
+    if t_big <= t_small:
+        # Timing noise inverted the two samples — one retry with more reps;
+        # a silently exploded gcups (~4e5) would degrade every schedule
+        # downstream, so a still-inverted calibration returns None and the
+        # caller falls back to the analytic model.
+        if reps < 8:
+            return calibrate(sample_len, small_len, reps=reps * 4)
+        return None
     d_cells = sample_len * sample_len - small_len * small_len
-    d_t = max(t_big - t_small, 1e-6)
-    gcups = max(d_cells / d_t / 1e9, 1.0)
+    gcups = d_cells / (t_big - t_small) / 1e9
+    # Physical ceiling: the VPU bound estimate is ~200 GCUPS (docs/PERF.md);
+    # anything past 1000 is a measurement artifact, not a device.
+    gcups = min(max(gcups, 1.0), 1000.0)
     fixed_us = max(t_small * 1e6 - small_len * small_len / gcups / 1e3, 0.0)
     return CalibratedCost(gcups=gcups, fixed_us=fixed_us)

@@ -52,10 +52,19 @@ def e2e_sweep(args):
             )
             line = out.stdout.strip().splitlines()[-1] if out.stdout else "{}"
             try:
-                reps.append(json.loads(line))
+                rep = json.loads(line)
             except json.JSONDecodeError:
-                reps.append({"error": out.stderr[-500:]})
+                rep = {}
+            # Persist the failure evidence (the reference kept its failed
+            # .out files — testing/12node-16-cpt-1-npn-physical.txt): a 0.0
+            # rep must carry WHY (bench's own error field on hash mismatch,
+            # or the subprocess stderr tail on a crash).
+            if rep.get("value", 0.0) == 0.0 and "error" not in rep:
+                rep["error"] = (out.stderr or "")[-800:] or "empty stdout"
+            rep["rc"] = out.returncode
+            reps.append(rep)
         vals = [r.get("value", 0.0) for r in reps]
+        errors = [r["error"] for r in reps if r.get("error")]
         rec = {
             "kernel": "e2e_big13",
             "fill_mode": fill_mode,
@@ -64,7 +73,10 @@ def e2e_sweep(args):
             "rb_align": rb_align,
             "gcups_reps": vals,
             "gcups_best": max(vals) if vals else 0.0,
+            "rcs": [r.get("rc") for r in reps],
         }
+        if errors:
+            rec["errors"] = errors
         records.append(rec)
         print(json.dumps(rec), flush=True)
     with open(args.out, "a") as f:

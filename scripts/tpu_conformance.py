@@ -58,8 +58,12 @@ def _recorded_golden(path):
     The blocked numpy oracle takes ~12 min on the adversarial dataset; its
     output is recorded once (analog of the reference's committed ``.out``
     goldens) so routine conformance runs gate against the recording.
-    ``--recompute-host`` forces the live oracle instead.
+    ``--recompute-host`` forces the live oracle instead. A recording is
+    only trusted when its ``dataset_sha256`` matches the current file —
+    a regenerated dataset falls back to the live oracle instead of
+    gating against a stale recording.
     """
+    import hashlib
     import json
     import os
 
@@ -70,6 +74,18 @@ def _recorded_golden(path):
         for line in f:
             rec = json.loads(line)
             if rec["dataset"] == path:
+                want = rec.get("dataset_sha256")
+                if want is not None:
+                    with open(os.path.join("/root/repo", path), "rb") as df:
+                        got = hashlib.sha256(df.read()).hexdigest()
+                    if got != want:
+                        print(
+                            f"{path}: recorded golden is for a different "
+                            "dataset file (sha256 mismatch) — using live "
+                            "host oracle",
+                            flush=True,
+                        )
+                        return None
                 return rec
     return None
 
@@ -116,6 +132,26 @@ def run_cross(path, backend, recompute_host=False):
     return ok
 
 
+class _Tee:
+    """Mirror stdout into the artifact file so a killed run is
+    distinguishable from a passing one: only a completed run writes the
+    final ``{"rc": ...}`` marker line."""
+
+    def __init__(self, path):
+        self._f = open(path, "w") if path else None
+        self._stdout = sys.stdout
+
+    def write(self, s):
+        self._stdout.write(s)
+        if self._f:
+            self._f.write(s)
+
+    def flush(self):
+        self._stdout.flush()
+        if self._f:
+            self._f.flush()
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--backend", default="pallas")
@@ -126,7 +162,12 @@ def main():
         "--recompute-host", action="store_true",
         help="run the live host oracle instead of recorded goldens",
     )
+    parser.add_argument(
+        "--out", default=None,
+        help="artifact file; ends with a {'rc': N} marker iff completed",
+    )
     args = parser.parse_args()
+    sys.stdout = _Tee(args.out)
 
     failures = 0
     for path, prefix in GOLDENS.items():
@@ -143,6 +184,10 @@ def main():
             else 1
         )
     print("ALL PASS" if not failures else f"{failures} FAILURES", flush=True)
+    import json
+
+    print(json.dumps({"rc": 1 if failures else 0, "failures": failures}),
+          flush=True)
     return 1 if failures else 0
 
 
