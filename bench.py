@@ -57,12 +57,17 @@ def main():
         )
         return 1
 
-    t0 = time.time()
-    result = align_kway(problem, backend="pallas")
-    elapsed = time.time() - t0
-    assert result.chain_hash == GOLDEN_HASH
+    # 3 timed reps (best + spread) — the reference's own methodology ran
+    # each config 3 times (testing15/*snowy{,1,2}.out); every rep is
+    # hash-gated, not just the warmup.
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        result = align_kway(problem, backend="pallas")
+        times.append(time.time() - t0)
+        assert result.chain_hash == GOLDEN_HASH
 
-    gcups = cells / elapsed / 1e9
+    gcups = cells / min(times) / 1e9
     print(
         json.dumps(
             {
@@ -70,6 +75,7 @@ def main():
                 "value": round(gcups, 2),
                 "unit": "GCUPS",
                 "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
+                "reps": [round(cells / t / 1e9, 2) for t in times],
             }
         )
     )

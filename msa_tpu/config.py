@@ -54,6 +54,17 @@ class EngineConfig:
     # Max supported sequence length (the spec's ~100k, Project2B.pdf p.5);
     # sizes the compiled band grid (X_CAP / Y_CAP).
     max_seq_len: int = 100_352
+    # Pair schedule policy for the multi-process engine: "lpt" (cost = m*n,
+    # the reference's proven testing8 design), "calibrated" (LPT over the
+    # measured wall-clock model: process 0 calibrates on its accelerator and
+    # broadcasts the parameters so every process derives the identical
+    # schedule), or "block" (the reference's S1 layout, kept for parity).
+    schedule_policy: str = "lpt"
+    # Local devices to shard the alignment pipeline over WITHIN one process
+    # (a real TPU host is 1 process x 4-8 chips). 0 = all local devices;
+    # 1 = single-device (the pre-r4 behavior). Pairs are LPT-split and each
+    # device runs the full fill+walk pipeline concurrently (models/kway).
+    local_devices: int = 0
     # Emit jax.profiler traces to this directory when set.
     profile_dir: Optional[str] = None
     # Run the Pallas kernels in interpret mode and allow the batched device

@@ -83,21 +83,29 @@ class KWayAligner:
             else:
                 from msa_tpu.ops.batch import align_pairs_batched as _impl
 
-            triples = _impl(
-                genes,
-                [(t.i, t.j) for t in batched],
-                self.pairwise.pxy,
-                self.pairwise.pgap,
-                interpret=bool(DEFAULT.interpret),
+            on_task_result = None
+            if journal is not None:
+                # Journal each pair AS its walk decodes (the decode loop
+                # sees results incrementally), not after the whole device
+                # workload returns — a crash mid-workload preserves every
+                # finished pair. Callbacks may fire from per-device
+                # threads, so serialize the journal writes.
+                import threading
+
+                jlock = threading.Lock()
+
+                def on_task_result(t, triple):
+                    penalty, a1, a2 = triple
+                    with jlock:
+                        journal.record(t.task_id, penalty, pair_hash(a1, a2))
+
+            triples = self._run_batched(
+                genes, batched, _impl, on_task_result=on_task_result
             )
             for t, (penalty, a1, a2) in zip(batched, triples):
                 results[t.task_id] = PairResult(
                     t.task_id, penalty, a1, a2, pair_hash(a1, a2)
                 )
-                if journal is not None:
-                    journal.record(
-                        t.task_id, penalty, results[t.task_id].problem_hash
-                    )
 
         for t in tasks:
             if t.task_id not in results:
@@ -126,6 +134,75 @@ class KWayAligner:
             penalties=penalties,
             pair_results=results if keep_alignments else None,
         )
+
+    def _run_batched(
+        self, genes: Sequence[str], batched, impl, on_task_result=None
+    ):
+        """Run the device pipeline, sharded over the process's local devices.
+
+        A TPU host is one process with several chips; the reference got its
+        speedup by running the full per-pair task on every rank
+        (``submit/xuliny-seqalkway.cpp:369-417``) — the local-device analog
+        is an LPT split of the big-pair workload with the WHOLE fill+walk
+        pipeline running per device (one host thread each; dispatch is
+        async, so the threads keep every chip busy while the host decodes).
+        Results are returned in ``batched`` order; the split is
+        deterministic (LPT, ties by task id) so output never depends on
+        thread timing.
+        """
+        from msa_tpu.config import DEFAULT
+
+        interpret = bool(DEFAULT.interpret)
+        pxy, pgap = self.pairwise.pxy, self.pairwise.pgap
+
+        def run_on(tasks_d):
+            cb = None
+            if on_task_result is not None:
+                def cb(idx, triple, tasks_d=tasks_d):
+                    on_task_result(tasks_d[idx], triple)
+
+            return impl(
+                genes,
+                [(t.i, t.j) for t in tasks_d],
+                pxy,
+                pgap,
+                interpret=interpret,
+                on_result=cb,
+            )
+
+        import jax
+
+        devs = jax.local_devices()
+        limit = DEFAULT.local_devices or len(devs)
+        # Each device shard needs >= 2 pairs (the conveyor interleaves
+        # bands of different pairs; a 1-pair shard wastes its ramp).
+        n_used = max(1, min(len(devs), limit, len(batched) // 2))
+        if n_used == 1:
+            return run_on(batched)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        from msa_tpu.parallel.schedule import lpt_schedule
+
+        costs = [(t, len(genes[t.i]) * len(genes[t.j])) for t in batched]
+        shards = lpt_schedule(costs, n_used)
+
+        def worker(dev, tasks_d):
+            with jax.default_device(dev):
+                return run_on(tasks_d)
+
+        with ThreadPoolExecutor(max_workers=n_used) as pool:
+            futs = [
+                pool.submit(worker, devs[d], shard)
+                for d, shard in enumerate(shards)
+                if shard
+            ]
+            shard_lists = [s for s in shards if s]
+            by_id = {}
+            for tasks_d, fut in zip(shard_lists, futs):
+                for t, triple in zip(tasks_d, fut.result()):
+                    by_id[t.task_id] = triple
+        return [by_id[t.task_id] for t in batched]
 
     def _batched_tasks(self, genes: Sequence[str], tasks):
         """Big pairs eligible for the one-call device pipeline."""

@@ -49,6 +49,19 @@ def align_pair(
 
         return nw_align_jax(x, y, pxy, pgap)
     if backend == "pallas":
+        from msa_tpu.config import DEFAULT
+
+        if len(x) * len(y) < DEFAULT.small_threshold:
+            # Small pairs take the jnp full-dirs device path: identical
+            # alignment (tie-break tested vs the oracle), but a
+            # seconds-long compile instead of the banded Pallas
+            # mega-kernels, which are sized by max_seq_len and cost
+            # minutes of cold compile — only worth paying for big pairs.
+            # (The r3 conformance run spent 763 s on mseq.dat's three
+            # 8-char pairs exactly here.)
+            from msa_tpu.ops.nw_jax import nw_align_jax
+
+            return nw_align_jax(x, y, pxy, pgap)
         from msa_tpu.ops.pallas_nw import nw_align_pallas
 
         return nw_align_pallas(x, y, pxy, pgap)

@@ -160,12 +160,15 @@ def align_pairs_batched(
     pxy: int,
     pgap: int,
     interpret: bool = False,
+    on_result=None,
 ) -> List[Tuple[int, str, str]]:
     """Align many (big) pairs in one device call; returns per-pair results.
 
     Every sequence must fit the cap (X_CAP). Pairs are sorted by descending
     m+n (walk length), grouped P_GROUP at a time, and the group count padded
     with the cheapest pair; results return in the caller's order.
+    ``on_result(idx, (penalty, a1, a2))`` fires as each pair's walk decodes
+    (incremental journaling: a crash mid-workload preserves finished pairs).
     """
     (rb, v_len, num_bands, s_max, Yp, P1, Xp, yfw_len,
      yrev_len) = _static_geometry()
@@ -239,4 +242,6 @@ def align_pairs_batched(
             i, j = pairs[idx]
             a1, a2 = moves_to_alignment(genes[i], genes[j], moves)
             out[idx] = (int(scores[p]), a1, a2)
+            if on_result is not None:
+                on_result(idx, out[idx])
     return out

@@ -722,8 +722,14 @@ def align_pairs_conveyor(
     pgap: int,
     interpret: bool = False,
     rb: int = RB_CONV,
+    on_result=None,
 ) -> List[Tuple[int, str, str]]:
-    """Align many big pairs: ONE conveyor fill + per-group batched walks."""
+    """Align many big pairs: ONE conveyor fill + per-group batched walks.
+
+    ``on_result(idx, (penalty, a1, a2))`` fires as each pair's walk chunk
+    decodes — a crash mid-workload journals every finished pair (the fill
+    itself is one device call and is all-or-nothing by design).
+    """
     from msa_tpu.config import DEFAULT
     from msa_tpu.ops.pallas_walk import (
         W_MAX,
@@ -856,4 +862,6 @@ def align_pairs_conveyor(
                 i, j = pairs[idx]
                 a1, a2 = moves_to_alignment(genes[i], genes[j], mv)
                 out[idx] = (int(scores[slot]), a1, a2)
+                if on_result is not None:
+                    on_result(idx, out[idx])
     return out

@@ -135,6 +135,37 @@ def init_distributed(
     )
 
 
+def _broadcast_calibration(log):
+    """Process-0 device calibration, broadcast so every process agrees.
+
+    The calibrated schedule is only deterministic if every process uses
+    IDENTICAL cost-model parameters (the schedule is derived locally, the
+    reference's testing8 design) — so process 0 measures and the values ride
+    ``broadcast_one_to_all``. Returns None when calibration is unavailable
+    (CPU-only, or inverted timings after retries).
+    """
+    import numpy as np
+
+    from msa_tpu.parallel.costmodel import CalibratedCost, calibrate
+
+    params = np.zeros(3, dtype=np.float64)
+    if jax.process_index() == 0:
+        model = calibrate()
+        if model is not None:
+            params[:] = (1.0, model.gcups, model.fixed_us)
+    from jax.experimental import multihost_utils
+
+    params = np.asarray(multihost_utils.broadcast_one_to_all(params))
+    if params[0] < 1.0:
+        return None
+    model = CalibratedCost(gcups=float(params[1]), fixed_us=float(params[2]))
+    log.info(
+        "calibrated cost model: %.1f GCUPS, %.0f us fixed",
+        model.gcups, model.fixed_us,
+    )
+    return model
+
+
 def align_kway_sharded(
     problem: Problem,
     backend: str = "auto",
@@ -173,7 +204,16 @@ def align_kway_sharded(
         )
 
     with timer.stage("schedule"):
-        shards = schedule_for(genes, nproc)
+        from msa_tpu.config import DEFAULT
+
+        policy = DEFAULT.schedule_policy
+        cost_model = None
+        if policy == "calibrated":
+            cost_model = _broadcast_calibration(log)
+            if cost_model is None:
+                policy = "lpt"  # calibration unavailable -> exact m*n model
+        shards = schedule_for(genes, nproc, policy=policy,
+                              cost_model=cost_model)
         my_tasks = shards[pidx]
     log.info(
         "process %d/%d: %d of %d pairs (LPT)",

@@ -112,6 +112,46 @@ def test_two_process_batched_pipeline_golden(fill_mode):
     assert lines[2] == MSEQ1_PENALTIES.rstrip("\n")
 
 
+@pytest.mark.parametrize("fill_mode", ["banded", "conveyor"])
+def test_local_multidevice_pipeline_golden(fill_mode):
+    """One process, 8 virtual devices: the full pipeline sharded per chip.
+
+    A real TPU host is 1 process x several chips; KWayAligner LPT-splits
+    the big-pair workload and runs the whole fill+walk pipeline per local
+    device in concurrent threads (models/kway._run_batched). Golden-gated
+    on mseq1 with every pair forced through the device path.
+    """
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # 4 virtual devices (not 8): each device compiles its own executables
+    # in interpret mode, and 4 already exercises the LPT split + threads.
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.update(
+        {
+            "MSA_TPU_INTERPRET": "1",
+            "MSA_TPU_FILL_MODE": fill_mode,
+            "MSA_TPU_SMALL_THRESHOLD": "0",
+            "MSA_TPU_SNAP_K": "128",
+            "MSA_TPU_RB_ALIGN": "128",
+            "MSA_TPU_RB_CONVEYOR": "128",
+            "MSA_TPU_MAX_SEQ_LEN": "512",
+        }
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "msa_tpu.cli",
+            "--backend", "pallas",
+            "--platform", "cpu",
+            "--input", str(REPO / "data" / "mseq1.dat"),
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = out.stdout.splitlines()
+    assert lines[1] == MSEQ1_HASH
+    assert lines[2] == MSEQ1_PENALTIES.rstrip("\n")
+
+
 def test_two_process_checkpoint_journals(tmp_path):
     ck = str(tmp_path / "journal-{proc}.jsonl")
     outs = _launch(2, extra_args=["--checkpoint", ck])

@@ -136,11 +136,15 @@ def test_conveyor_interpret(monkeypatch):
         for n in (1400, 2100, 900, 2600, 1300)
     ]
     pairs = [(i, j) for i in range(1, 5) for j in range(i)]  # 10 pairs
+    seen = {}
     got = conv.align_pairs_conveyor(
-        genes, pairs, 3, 2, interpret=True, rb=rb
+        genes, pairs, 3, 2, interpret=True, rb=rb,
+        on_result=lambda idx, triple: seen.setdefault(idx, triple),
     )
     for (i, j), res in zip(pairs, got):
         assert res == nw_align_numpy(genes[i], genes[j], 3, 2), (i, j)
+    # Incremental-journal hook: one callback per pair, same triples.
+    assert seen == {idx: got[idx] for idx in range(len(pairs))}
 
 
 def test_conveyor_planner_event_collisions():
