@@ -41,6 +41,11 @@ class EngineConfig:
     # Pairs per walk launch, riding the VPU sublane dim. 8 measured best
     # (16: 91.5 vs 93.2 GCUPS at the time of measurement).
     p_group: int = 8
+    # Conveyor fill segments per workload: the sweep is dispatched as this
+    # many equal chunk ranges (state carried through aliased buffers) so
+    # walks and host decode of early-finishing pairs overlap the rest of
+    # the fill. 1 = the r3 single-dispatch behavior.
+    fill_segments: int = 4
     # Conveyor walk groups per dispatch (lax.scan chunk). Each dispatch and
     # each result fetch pays tens of ms of link latency here; scanning
     # several groups per call amortizes it while leaving enough calls for

@@ -93,6 +93,10 @@ class ConveyorPlan:
     v_len: int
     ymax: int
     n_slots: int  # brow rows incl. analytic (0) and trash (n_slots - 1)
+    # Per pair slot: first chunk index at which every snapshot / boundary
+    # row / score event the pair's walk reads has been written — the fill
+    # segment covering this chunk unlocks the pair's walk dispatch.
+    pair_ready: List[int] = dataclasses.field(default_factory=list)
 
 
 def plan_conveyor(
@@ -173,6 +177,16 @@ def plan_conveyor(
     # SMEM blocks (Mosaic's minimum block tiling).
     n_chunks = _round_up(_round_up(-(-total // K), 8), CHUNK_PAD)
     ymax = _round_up(max_n + rb + 2 * K + LANES, K)
+    pair_ready = [0] * len(pairs)
+    for bp in bands:
+        # Last chunk the band touches: its highest-dl snapshot / boundary
+        # flush / score event all land by (start + rb + n) // K; +2 margin
+        # for the K-deferred event chunk and the flush of the final
+        # boundary segment.
+        pair_ready[bp.pair_slot] = max(
+            pair_ready[bp.pair_slot],
+            min((bp.start + rb + bp.n) // K + 2, n_chunks),
+        )
     return ConveyorPlan(
         bands=bands,
         n_chunks=n_chunks,
@@ -180,6 +194,7 @@ def plan_conveyor(
         v_len=v_len,
         ymax=ymax,
         n_slots=slot + 1,  # + trash row
+        pair_ready=pair_ready,
     )
 
 
@@ -299,17 +314,22 @@ def _shift_insert(v, elem, row_mask, lane_mask):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_chunks", "rb", "v_len", "ymax", "n_slots", "n_pairs",
+        "n_seg", "rb", "v_len", "ymax", "n_slots", "n_pairs",
         "interpret", "unroll",
     ),
+    donate_argnums=(5, 6),  # snaps, brow: revisited in place per segment
 )
-def _conveyor_sweep_call(
+def _conveyor_fill_segment(
     params: jnp.ndarray,  # (8,) int32: pxy, pgap, ...
-    tables: jnp.ndarray,  # (n_chunks, 128) int32, see build_chunk_tables
+    tables: jnp.ndarray,  # (n_chunks_pad, 128) int32, build_chunk_tables
     xtiles: jnp.ndarray,  # (n_bands, R, LANES) int32 per-band x tiles
-    y_conv: jnp.ndarray,  # (1, n_chunks*K) int32 y-char stream
+    y_conv: jnp.ndarray,  # (1, n_chunks_pad*K) int32 y-char stream
+    c0: jnp.ndarray,  # (1,) int32 first chunk of this segment (8-aligned)
+    snaps: jnp.ndarray,  # (n_chunks_pad, 3, LANES, R) int32, aliased
+    brow: jnp.ndarray,  # (n_slots, 1, ymax) int32, aliased
+    state: jnp.ndarray,  # (5, R, LANES) int32 sweep carry
     *,
-    n_chunks: int,
+    n_seg: int,
     rb: int,
     v_len: int,
     ymax: int,
@@ -318,21 +338,51 @@ def _conveyor_sweep_call(
     interpret: bool = False,
     unroll: int = 128,
 ):
+    """One fill segment: chunks [c0, c0 + n_seg) of the conveyor sweep.
+
+    The sweep state rides the ``state`` carry (the r3 kernel kept it in
+    VMEM scratch of one whole-workload dispatch); snaps/brow are donated
+    and written in place so walks and host decode of early-finishing pairs
+    can overlap the remaining fill segments. ``c0`` is a runtime scalar —
+    every equal-sized segment shares ONE compiled program.
+    """
     R = v_len // LANES
     KC8 = K // LANES
     rb_row = rb % R
     rb_col = rb // R
 
+    tables_seg = jax.lax.dynamic_slice(
+        tables, (c0[0], jnp.int32(0)), (n_seg, 128)
+    )
+    y_seg = jax.lax.dynamic_slice(
+        y_conv, (jnp.int32(0), c0[0] * K), (1, n_seg * K)
+    )
+
     def kernel(
-        params_ref, tables_ref, xtiles_ref, y_ref,
-        scores_ref, snaps_ref, brow_ref,
-        s_prev1, s_prev1s, s_prev2s, s_yd, s_xv,
+        params_ref, tables_ref, xtiles_ref, y_ref, c0_ref,
+        state_in, snaps_in, brow_in,
+        scores_ref, state_out, snaps_ref, brow_ref,
         top_stage, bot_stage, snap_stage, an_stage, xtile_stage,
         sem_top, sem_bot, sem_snap, sem_an, sem_xt,
     ):
-        g = pl.program_id(0)
+        gi = pl.program_id(0)
+        g = c0_ref[0] + gi
         pxy = params_ref[0]
         pgap = params_ref[1]
+
+        @pl.when(gi == 0)
+        def _():
+            # Per-segment score buffer (merged by max on host; penalties
+            # are >= 0) and the state carry staged into the working buffer.
+            for p in range(n_pairs):
+                scores_ref[p, 0] = -1
+            state_out[:, :, :] = state_in[:, :, :]
+
+        s_prev1 = state_out.at[0]
+        s_prev1s = state_out.at[1]
+        s_prev2s = state_out.at[2]
+        s_yd = state_out.at[3]
+        s_xv = state_out.at[4]
 
         row_mask = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) == 0
         lane_mask = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == 0
@@ -363,7 +413,7 @@ def _conveyor_sweep_call(
             cp.start()
             cp.wait()
 
-        tr = g % 8  # row within the (8, 128) table block
+        tr = gi % 8  # row within the (8, 128) table block
         ramp = tables_ref[tr, 0]
         rstart = tables_ref[tr, 1]
         ri0 = tables_ref[tr, 2]
@@ -397,8 +447,10 @@ def _conveyor_sweep_call(
             # a lane up to K-1 steps before it activates is safe: the
             # previous owner's last read is >= K steps gone (plan stagger
             # >= prev_n + K) and the new cells' cur is overwritten by the
-            # left-border inject at activation.
-            @pl.when(ramp_first == 1)
+            # left-border inject at activation. Re-fetch at segment entry
+            # (gi == 0) too: a ramp spanning a segment boundary loses the
+            # xtile_stage scratch between dispatches.
+            @pl.when((ramp_first == 1) | (gi == 0))
             def _():
                 cp_x = pltpu.make_async_copy(
                     xtiles_ref.at[band_idx], xtile_stage, sem_xt
@@ -542,35 +594,38 @@ def _conveyor_sweep_call(
             cp_bot.start()
             cp_bot.wait()
 
-    scores, snaps, brow = pl.pallas_call(
+    n_chunks_pad = tables.shape[0]
+    scores, state_new, snaps_new, brow_new = pl.pallas_call(
         kernel,
-        grid=(n_chunks,),
+        grid=(n_seg,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
             pl.BlockSpec(
-                (8, 128), lambda g: (g // 8, 0), memory_space=pltpu.SMEM
+                (8, 128), lambda gi: (gi // 8, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),  # per-band x tiles
             pl.BlockSpec(
-                (1, K), lambda g: (0, g), memory_space=pltpu.VMEM
-            ),  # y stream
+                (1, K), lambda gi: (0, gi), memory_space=pltpu.VMEM
+            ),  # y stream (segment slice)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # c0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # state carry in
+            pl.BlockSpec(memory_space=pltpu.HBM),  # snaps (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # brow (aliased)
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # scores
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scores (per segment)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # state carry out
             pl.BlockSpec(memory_space=pltpu.HBM),  # snaps
             pl.BlockSpec(memory_space=pltpu.HBM),  # brow
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_pairs, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_chunks, 3, LANES, R), jnp.int32),
+            jax.ShapeDtypeStruct((5, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks_pad, 3, LANES, R), jnp.int32),
             jax.ShapeDtypeStruct((n_slots, 1, ymax), jnp.int32),
         ),
+        input_output_aliases={6: 2, 7: 3},
         scratch_shapes=[
-            pltpu.VMEM((R, LANES), jnp.int32),  # prev1
-            pltpu.VMEM((R, LANES), jnp.int32),  # prev1s
-            pltpu.VMEM((R, LANES), jnp.int32),  # prev2s
-            pltpu.VMEM((R, LANES), jnp.int32),  # yd
-            pltpu.VMEM((R, LANES), jnp.int32),  # xv
             pltpu.VMEM((1, K), jnp.int32),  # top feed stage
             pltpu.VMEM((1, K), jnp.int32),  # bottom harvest stage
             pltpu.VMEM((3, LANES, R), jnp.int32),  # snapshot stage
@@ -584,7 +639,31 @@ def _conveyor_sweep_call(
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(params, tables, xtiles, y_conv)
+    )(params, tables_seg, xtiles, y_seg, c0, state, snaps, brow)
+    return scores, state_new, snaps_new, brow_new
+
+
+def _conveyor_sweep_call(
+    params, tables, xtiles, y_conv, *,
+    n_chunks, rb, v_len, ymax, n_slots, n_pairs,
+    interpret=False, unroll=128,
+):
+    """Whole-workload sweep in one dispatch (single-segment compatibility).
+
+    Kept for the profilers and the fused `_conveyor_fill_device` path;
+    the production driver (`align_pairs_conveyor`) dispatches
+    `_conveyor_fill_segment` per chunk range instead.
+    """
+    R = v_len // LANES
+    snaps = jnp.zeros((n_chunks, 3, LANES, R), jnp.int32)
+    brow = jnp.zeros((n_slots, 1, ymax), jnp.int32)
+    state = jnp.zeros((5, R, LANES), jnp.int32)
+    scores, _, snaps, brow = _conveyor_fill_segment(
+        params, tables, xtiles, y_conv, jnp.zeros((1,), jnp.int32),
+        snaps, brow, state,
+        n_seg=n_chunks, rb=rb, v_len=v_len, ymax=ymax, n_slots=n_slots,
+        n_pairs=n_pairs, interpret=interpret, unroll=unroll,
+    )
     return scores, snaps, brow
 
 
@@ -619,6 +698,35 @@ def _conveyor_fill_device(
         n_slots=n_slots, n_pairs=n_pairs,
         interpret=interpret, unroll=unroll,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("xp", "n_chunks_pad", "rb", "v_len"),
+)
+def _conveyor_prepare(gene_table, band_specs, tables16, *,
+                      xp, n_chunks_pad, rb, v_len):
+    """Fused feed/table preparation for the segmented fill driver."""
+    y_conv = _build_feeds(
+        gene_table, band_specs, xp=xp, n_chunks=n_chunks_pad, rb=rb
+    )
+    xtiles = _build_xtiles(gene_table, band_specs, v_len=v_len)
+    tables = jnp.pad(
+        tables16,
+        ((0, n_chunks_pad - tables16.shape[0]),
+         (0, 128 - tables16.shape[1])),
+    )
+    # Padded chunk rows must carry ev_local = -1 (col 8): an all-zeros row
+    # would fire a bogus score event at step 0 into scores[0].
+    if n_chunks_pad > tables16.shape[0]:
+        pad_col8 = jnp.where(
+            (jnp.arange(n_chunks_pad) >= tables16.shape[0])[:, None]
+            & (jnp.arange(128) == 8)[None, :],
+            -1,
+            tables,
+        )
+        tables = pad_col8
+    return y_conv, xtiles, tables
 
 
 @functools.partial(
@@ -771,24 +879,12 @@ def align_pairs_conveyor(
         [[bp.start, bp.xi, bp.yi, bp.i0] for bp in plan.bands],
         dtype=np.int32,
     )
-    scores_d, snaps, brow = _conveyor_fill_device(
-        table_dev,
-        jnp.asarray(band_specs),
-        jnp.asarray(np.ascontiguousarray(tables[:, :16])),
-        jnp.asarray(np.array([pxy, pgap, 0, 0, 0, 0, 0, 0], np.int32)),
-        xp=Xp,
-        n_chunks=plan.n_chunks,
-        rb=rb,
-        v_len=v_len,
-        ymax=plan.ymax,
-        n_slots=plan.n_slots,
-        n_pairs=_round_up(num, P_GROUP),
-        interpret=interpret,
-        unroll=1 if interpret else 128,
-    )
-    snaps_flat = snaps.reshape(plan.n_chunks * 3, 1, v_len)
+    params_dev = jnp.asarray(np.array([pxy, pgap, 0, 0, 0, 0, 0, 0],
+                                      np.int32))
+    n_pairs_pad = _round_up(num, P_GROUP)
 
-    # Per-pair walk tables from the plan.
+    # Per-pair walk tables from the plan (built BEFORE the fill so walk
+    # chunks can dispatch between fill segments).
     by_slot: Dict[int, List[BandPlan]] = {}
     for bp in plan.bands:
         by_slot.setdefault(bp.pair_slot, []).append(bp)
@@ -831,22 +927,66 @@ def align_pairs_conveyor(
         _round_up(need, 64),
     )
 
-    # Dispatch the walks in scan chunks: each call walks several groups
-    # (one dispatch + one fetch per chunk), and the host decodes chunk c
-    # while the device walks chunk c+1.
-    futs = []
-    for c0 in range(0, n_groups, CH):
-        chunk = gpp[c0 : min(c0 + CH, n_groups)]
-        moves_s, meta_s = _conveyor_walk_scan(
-            snaps_flat, brow, table_dev, chunk,
-            p1=P1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
-            ypad_len=y_cap,
-            p_group=P_GROUP, g8=g8, num_bands=nb_max,
-            rb=rb, v_len=v_len, interpret=interpret,
-        )
-        futs.append((c0, moves_s, meta_s))
+    # Segmented fill: the sweep is dispatched as `segs` equal chunk ranges
+    # (state carried between calls, snaps/brow written in place), and each
+    # walk scan-chunk dispatches as soon as the fill has covered every
+    # chunk its pairs read (plan.pair_ready). The device still executes
+    # fill and walks serially, but the HOST starts fetching + decoding the
+    # big early pairs while the tail of the fill is still running — the
+    # post-decode tail stops serializing after the whole fill.
+    segs = max(1, DEFAULT.fill_segments)
+    n_seg = _round_up(-(-plan.n_chunks // segs), 8)
+    n_chunks_pad = n_seg * segs
+    y_conv, xtiles, tables_dev = _conveyor_prepare(
+        table_dev, jnp.asarray(band_specs),
+        jnp.asarray(np.ascontiguousarray(tables[:, :16])),
+        xp=Xp, n_chunks_pad=n_chunks_pad, rb=rb, v_len=v_len,
+    )
+    R = v_len // LANES
+    snaps = jnp.zeros((n_chunks_pad, 3, LANES, R), jnp.int32)
+    brow = jnp.zeros((plan.n_slots, 1, plan.ymax), jnp.int32)
+    state = jnp.zeros((5, R, LANES), jnp.int32)
 
-    scores = np.asarray(scores_d).reshape(-1)
+    walk_c0s = list(range(0, n_groups, CH))
+    ready = []
+    for cw in walk_c0s:
+        slots = range(cw * P_GROUP, min((cw + CH) * P_GROUP, p_pad))
+        ready.append(max(
+            plan.pair_ready[s if s < num else num - 1] for s in slots
+        ))
+
+    score_parts = []
+    futs = []
+    wq = 0
+    for s in range(segs):
+        c0 = jnp.asarray([s * n_seg], jnp.int32)
+        scores_s, state, snaps, brow = _conveyor_fill_segment(
+            params_dev, tables_dev, xtiles, y_conv, c0, snaps, brow, state,
+            n_seg=n_seg, rb=rb, v_len=v_len, ymax=plan.ymax,
+            n_slots=plan.n_slots, n_pairs=n_pairs_pad,
+            interpret=interpret, unroll=1 if interpret else 128,
+        )
+        score_parts.append(scores_s)
+        filled = (s + 1) * n_seg
+        while wq < len(walk_c0s) and (
+            ready[wq] <= filled or s == segs - 1
+        ):
+            cw = walk_c0s[wq]
+            snaps_flat = snaps.reshape(n_chunks_pad * 3, 1, v_len)
+            moves_s, meta_s = _conveyor_walk_scan(
+                snaps_flat, brow, table_dev, gpp[cw : cw + CH],
+                p1=P1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
+                ypad_len=y_cap,
+                p_group=P_GROUP, g8=g8, num_bands=nb_max,
+                rb=rb, v_len=v_len, interpret=interpret,
+            )
+            futs.append((cw, moves_s, meta_s))
+            wq += 1
+
+    # Per-segment score buffers merge by max (init -1, penalties >= 0).
+    scores = np.maximum.reduce(
+        [np.asarray(p) for p in score_parts]
+    ).reshape(-1)
     out: List[Tuple[int, str, str]] = [None] * num  # type: ignore
     for c0, moves_s, meta_s in futs:
         words_c = np.asarray(moves_s)  # (G, g8, P, K//16)

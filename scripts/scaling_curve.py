@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--max-len", type=int, default=2048)
     ap.add_argument("--pod-k", type=int, default=256, help="schedule-only k")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--e2e-devices", default="",
+        help="comma list of local-device counts for the e2e pipeline "
+        "section (subprocess per count; e.g. 1,2,4)",
+    )
     ap.add_argument("--out", default="scaling_curve.jsonl")
     args = ap.parse_args()
 
@@ -86,6 +91,61 @@ def main():
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)
+
+    # (c) e2e alignment-pipeline throughput, LPT-sharded over local devices
+    # (models/kway._run_batched): one process, growing device count, every
+    # pair through the interpret-mode device pipeline. Virtual CPU devices
+    # SHARE physical cores (this host: 2), so this measures sharding
+    # correctness + per-device dispatch overhead, not chip speedup — the
+    # per-device pipelines are fully independent (no collectives), so on
+    # real chips the axis scales like the reference's pair-distribution.
+    if args.e2e_devices:
+        import os
+        import subprocess
+        for nd in [int(d) for d in args.e2e_devices.split(",")]:
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={nd}"
+            env.update({
+                "MSA_TPU_INTERPRET": "1",
+                "MSA_TPU_SMALL_THRESHOLD": "0",
+                "MSA_TPU_SNAP_K": "128",
+                "MSA_TPU_RB_ALIGN": "128",
+                "MSA_TPU_RB_CONVEYOR": "128",
+                "MSA_TPU_MAX_SEQ_LEN": "512",
+                "MSA_TPU_LOCAL_DEVICES": str(nd),
+            })
+            code = (
+                "import sys, time, json; sys.path.insert(0, '/root/repo');\n"
+                "from msa_tpu.models.kway import align_kway\n"
+                "from msa_tpu.utils.msaio import parse_file\n"
+                "p = parse_file('/root/repo/data/mseq1.dat')\n"
+                "align_kway(p, backend='pallas')  # compile\n"
+                "t0 = time.time()\n"
+                "r = align_kway(p, backend='pallas')\n"
+                "dt = time.time() - t0\n"
+                "print(json.dumps({'dt': dt, 'hash': r.chain_hash[:16]}))\n"
+            )
+            out = subprocess.run(
+                [sys.executable, "-c", code], env=env,
+                capture_output=True, text=True, timeout=1800,
+            )
+            last = out.stdout.strip().splitlines()[-1] if out.stdout else "{}"
+            try:
+                r = json.loads(last)
+            except json.JSONDecodeError:
+                r = {"error": out.stderr[-400:]}
+            rec = {
+                "metric": "e2e_local_devices",
+                "devices": nd,
+                "pairs": 36,
+                "walltime_s": round(r.get("dt", 0.0), 3),
+                "hash_ok": r.get("hash") == "4d676f40ea4c1e6b",
+            }
+            if "error" in r:
+                rec["error"] = r["error"]
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
 
     # (b) schedule balance at pod scale (pure host math; k=256 -> 32640
     # pairs): max/mean shard load for LPT vs block, 1..N shards.

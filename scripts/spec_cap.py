@@ -8,7 +8,7 @@ a cap-scale pair end-to-end. This script aligns one m = max_seq_len pair on
 the device (both fill modes) and cross-checks penalty AND alignment strings
 against the memory-bounded blocked host oracle
 (``ops/reference.nw_align_numpy_blocked``). Appends a JSON record to
-artifacts/spec_cap_r3.json.
+artifacts/spec_cap_r4.json.
 """
 
 import json
@@ -79,7 +79,7 @@ def main():
     results["conveyor_2pair_s"] = round(t_conv, 3)
     results["conveyor_exact"] = bool(ok_conv)
 
-    with open("/root/repo/artifacts/spec_cap_r3.json", "w") as f:
+    with open("/root/repo/artifacts/spec_cap_r4.json", "w") as f:
         json.dump(results, f, indent=1)
     print("PASS" if ok_banded and ok_conv else "FAIL", flush=True)
     return 0 if ok_banded and ok_conv else 1
