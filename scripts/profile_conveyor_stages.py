@@ -1,8 +1,11 @@
 """Clean-process stage timing of align_pairs_conveyor on big13.
 
 Instruments the production entry point by monkeypatching sync points
-around the fill and walk dispatches (np.asarray fetches — the only real
-sync on this platform). Run twice; the second line is the warm number.
+around the segmented fill and the walk-scan dispatches (np.asarray
+fetches — the only real sync on this platform). Records per-segment fill
+completion, when each walk scan chunk was DISPATCHED relative to the
+fill (the overlap the segmentation buys), and the decode tail. Run
+twice; the second line is the warm number.
 """
 
 import sys
@@ -27,42 +30,40 @@ def main():
 
     import msa_tpu.ops.conveyor as conv
 
-    orig_fill = conv._conveyor_fill_device
-    orig_walk = conv._conveyor_group_walk
-    marks = {}
+    orig_seg = conv._conveyor_fill_segment
+    orig_scan = conv._conveyor_walk_scan
+    marks = {"seg_done": [], "walk_dispatch": [], "walk_fetched": []}
 
-    def fill_wrap(*a, **kw):
-        marks["host_pre"] = time.time()
-        out = orig_fill(*a, **kw)
-        np.asarray(out[0])
-        marks["fill_done"] = time.time()
+    def seg_wrap(*a, **kw):
+        out = orig_seg(*a, **kw)
+        np.asarray(out[0])  # sync: per-segment scores fetch
+        marks["seg_done"].append(time.time())
         return out
 
-    gcount = [0]
+    def scan_wrap(*a, **kw):
+        marks["walk_dispatch"].append(time.time())
+        return orig_scan(*a, **kw)
 
-    def walk_wrap(*a, **kw):
-        out = orig_walk(*a, **kw)
-        gcount[0] += 1
-        if gcount[0] == 10:
-            np.asarray(out[1][0, 0, 0])
-            marks["walks_done"] = time.time()
-        return out
-
-    conv._conveyor_fill_device = fill_wrap
-    conv._conveyor_group_walk = walk_wrap
+    conv._conveyor_fill_segment = seg_wrap
+    conv._conveyor_walk_scan = scan_wrap
 
     for rep in range(2):
+        for k in marks:
+            marks[k] = []
         t0 = time.time()
         conv.align_pairs_conveyor(genes, pairs, problem.pxy, problem.pgap)
         total = time.time() - t0
-        gcount[0] = 0
+        segs = [round(t - t0, 3) for t in marks["seg_done"]]
+        wd = [round(t - t0, 3) for t in marks["walk_dispatch"]]
         print(
-            f"rep{rep}: host_pre={marks['host_pre']-t0:.3f}s "
-            f"fill={marks['fill_done']-marks['host_pre']:.3f}s "
-            f"walks={marks['walks_done']-marks['fill_done']:.3f}s "
-            f"post={t0+total-marks['walks_done']:.3f}s "
+            f"rep{rep}: seg_done={segs} walk_dispatch_at={wd} "
             f"total={total:.3f}s = {cells/total/1e9:.1f} GCUPS"
         )
+    print(
+        "NOTE: seg_wrap's per-segment sync serializes fill segments — the "
+        "production path does not sync there; use bench.py for the true "
+        "e2e number. This profile shows the fill/walk interleaving shape."
+    )
 
 
 if __name__ == "__main__":
