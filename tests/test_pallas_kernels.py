@@ -147,6 +147,32 @@ def test_conveyor_interpret(monkeypatch):
     assert seen == {idx: got[idx] for idx in range(len(pairs))}
 
 
+def test_conveyor_many_segments_interpret(monkeypatch):
+    """Segmented fill with boundaries landing mid-ramp.
+
+    fill_segments=16 forces segment boundaries every ~8 chunks, so band
+    ramps (2-4 chunks at this geometry) frequently span a boundary —
+    exercising the xtile re-fetch at segment entry and the state carry
+    between dispatches. Results must stay bit-identical to the oracle.
+    """
+    import msa_tpu.ops.conveyor as conv
+
+    monkeypatch.setattr(conv, "CHUNK_PAD", 1)
+    monkeypatch.setattr(conv.DEFAULT, "fill_segments", 16)
+    rng = np.random.default_rng(23)
+    rb = max(conv.K, 1024)
+    scale = rb // 1024
+    genes = [
+        _rand_seq(rng, n * scale) for n in (2500, 1100, 1900, 700)
+    ]
+    pairs = [(i, j) for i in range(1, 4) for j in range(i)]  # 6 pairs
+    got = conv.align_pairs_conveyor(
+        genes, pairs, 3, 2, interpret=True, rb=rb
+    )
+    for (i, j), res in zip(pairs, got):
+        assert res == nw_align_numpy(genes[i], genes[j], 3, 2), (i, j)
+
+
 def test_conveyor_planner_event_collisions():
     """Score events must never collide in a K-chunk (planner defers starts).
 
