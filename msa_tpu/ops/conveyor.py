@@ -899,12 +899,18 @@ def align_pairs_conveyor(
     p_pad = -(-num // (P_GROUP * CH)) * (P_GROUP * CH)
     rows = np.zeros((p_pad, 32), dtype=np.int32)
     for slot in range(p_pad):
-        pslot = slot if slot < num else num - 1
-        i, j = ordered[pslot]
+        if slot >= num:
+            # Zero-length padding pair: the walk kernel marks m == 0 done
+            # at slot init (pallas_walk kernel, st[3p+2]), so whole padded
+            # groups cost nothing on device — unlike replicating a real
+            # pair, whose walk would run in full.
+            rows[slot, 8:16] = [0, 0, pxy, pgap, 0, P1, 0, 0]
+            continue
+        i, j = ordered[slot]
         m, n = len(genes[i]), len(genes[j])
         P0 = (-n) % LANES
         rows[slot, 8:16] = [m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0]
-        for bp in by_slot[pslot]:
+        for bp in by_slot[slot]:
             rows[slot, 16 + bp.band] = bp.start // K
             rows[slot, 20 + bp.band] = bp.brow_in
         rows[slot, 24] = i
@@ -952,7 +958,7 @@ def align_pairs_conveyor(
     for cw in walk_c0s:
         slots = range(cw * P_GROUP, min((cw + CH) * P_GROUP, p_pad))
         ready.append(max(
-            plan.pair_ready[s if s < num else num - 1] for s in slots
+            plan.pair_ready[s] if s < num else 0 for s in slots
         ))
 
     score_parts = []
