@@ -53,6 +53,22 @@ KC = K // LANES
 W_MAX = K + 128
 NEG_FILL = 2**30
 
+# The walk's double-buffered 2-bit-packed dirs block lives in SMEM as
+# (2, K//16, 1, W) int32 — it scales ~quadratically with snap_k and must
+# fit the core's 1 MB SMEM alongside the walk-state scratch. snap_k=2048
+# needs 2.2 MB and fails Mosaic allocation ("would exceed memory
+# (size=1048576)"), which used to surface only as a hash-gate 0.0 in the
+# e2e sweep; reject it at import with the real reason instead.
+_SMEM_BYTES = 1 << 20
+_dirs_bytes = 2 * (K // 16) * W_MAX * 4
+if _dirs_bytes > _SMEM_BYTES - (64 << 10):
+    raise ValueError(
+        f"snap_k={K} is unsupported: the walk's packed-dirs SMEM double "
+        f"buffer needs {_dirs_bytes} bytes of the {_SMEM_BYTES}-byte SMEM "
+        "(2*(snap_k//16)*(snap_k+128) int32 words); largest supported "
+        "power-of-two snap_k is 1024"
+    )
+
 
 @functools.partial(
     jax.jit,
