@@ -856,7 +856,33 @@ def align_pairs_conveyor(
             len(genes[pairs[idx][0]]) + len(genes[pairs[idx][1]])
         ),
     )
-    ordered = [pairs[idx] for idx in order]
+
+    def orient(i, j):
+        """Orientation (xi, yi, swapped) minimizing conveyor lane-steps.
+
+        A band of x-length m, y-length n occupies the conveyor for
+        ~max(n, rb) + K steps (its successor waits on prev_n + K with an
+        rb + K floor), so a pair costs ceil(m/rb) * (max(n, rb) + K)
+        steps of rb lanes. The partial last band (m % rb rows) wastes
+        (rb - m % rb) lanes for its whole residency — on big13 that is
+        24% of all lane-steps under the fixed (i, j) orientation, 13%
+        recovered by choosing per pair. Transposed pairs carry a tie-break
+        flag (params col 6) so the walk reproduces the original
+        orientation's alignment byte-exactly (see _walk_call).
+        """
+        cands = []
+        for xi, yi, sw in ((i, j, 0), (j, i, 1)):
+            mm, nn = len(genes[xi]), len(genes[yi])
+            nb = max(1, -(-mm // rb))
+            if nb <= 4:
+                cands.append((nb * (max(nn, rb) + K), sw, xi, yi))
+        cands.sort()
+        _, sw, xi, yi = cands[0]
+        return xi, yi, sw
+
+    oriented = [orient(*pairs[idx]) for idx in order]
+    ordered = [(xi, yi) for xi, yi, _ in oriented]
+    swapped = [sw for _, _, sw in oriented]
     plan = plan_conveyor(genes, ordered, rb=rb)
     v_len = plan.v_len
     tables = build_chunk_tables(plan)
@@ -909,7 +935,9 @@ def align_pairs_conveyor(
         i, j = ordered[slot]
         m, n = len(genes[i]), len(genes[j])
         P0 = (-n) % LANES
-        rows[slot, 8:16] = [m, n, pxy, pgap, P1 + P0 + n, P1, 0, 0]
+        rows[slot, 8:16] = [
+            m, n, pxy, pgap, P1 + P0 + n, P1, swapped[slot], 0,
+        ]
         for bp in by_slot[slot]:
             rows[slot, 16 + bp.band] = bp.start // K
             rows[slot, 20 + bp.band] = bp.brow_in
@@ -1005,9 +1033,14 @@ def align_pairs_conveyor(
                     break
                 idx = order[slot]
                 mv = decode_moves(words_c[gl, :, p, :], meta_c[gl, :, p, 0])
-                i, j = pairs[idx]
-                a1, a2 = moves_to_alignment(genes[i], genes[j], mv)
-                out[idx] = (int(scores[slot]), a1, a2)
+                xi, yi = ordered[slot]
+                ax, ay = moves_to_alignment(genes[xi], genes[yi], mv)
+                # Transposed pairs swap back: a1 is always the alignment
+                # of genes[pairs[idx][0]] (the canonical hash order,
+                # submit/xuliny-seqalkway.cpp:209-214).
+                if swapped[slot]:
+                    ax, ay = ay, ax
+                out[idx] = (int(scores[slot]), ax, ay)
                 if on_result is not None:
                     on_result(idx, out[idx])
     return out

@@ -53,6 +53,7 @@ def _diag_step(
     pgap: jnp.ndarray,
     ii: jnp.ndarray,
     y_off: int,
+    swap: jnp.ndarray,
 ):
     """One anti-diagonal update. Returns (cur, dirs) vectors of length V.
 
@@ -76,13 +77,22 @@ def _diag_step(
 
     # Traceback moves with the reference tie-break order
     # (seqalign-mpi-skeleton.cpp:236-262): match > diag > up > left.
+    # ``swap = 1`` runs a transposed pair (x/y exchanged by the caller to
+    # keep the scan state on the SHORT side): up/left exchange under
+    # transpose, so ties must then prefer LEFT (strict compare) for the
+    # caller's swap-back to reproduce the original orientation's
+    # alignment byte-exactly.
     dirs = jnp.where(
         match,
         DIAG_MATCH,
         jnp.where(
             cand_diag == cur,
             DIAG_SUB,
-            jnp.where(cand_up == cur, UP, LEFT),
+            jnp.where(
+                (cand_up == cur) & (cand_up + swap <= cand_left),
+                UP,
+                LEFT,
+            ),
         ),
     ).astype(jnp.int8)
 
@@ -108,6 +118,7 @@ def diag_sweep(
     pxy: jnp.ndarray,
     pgap: jnp.ndarray,
     *,
+    swap: jnp.ndarray = 0,
     emit_dirs: bool = False,
     unroll: int = 1,
 ):
@@ -140,7 +151,8 @@ def diag_sweep(
     def step(carry, d):
         prev2, prev1 = carry
         cur, dirs = _diag_step(
-            d, prev1, prev2, xpad, ybuf, m, n, pxy, pgap, ii, y_off
+            d, prev1, prev2, xpad, ybuf, m, n, pxy, pgap, ii, y_off,
+            jnp.asarray(swap, jnp.int32),
         )
         # Harvest the final score when this diagonal contains (m, n).
         out = dirs if emit_dirs else jnp.zeros((0,), jnp.int8)
@@ -189,20 +201,32 @@ def nw_score_jax(x: str, y: str, pxy: int, pgap: int) -> int:
 def nw_align_jax(x: str, y: str, pxy: int, pgap: int) -> Tuple[int, str, str]:
     """Penalty + alignment via full per-diagonal dirs (small/medium pairs).
 
-    Memory: (Mp+Np) x (Mp+1) int8 — big pairs use the banded Pallas
-    fill + walk (``msa_tpu.ops.pallas_walk``) instead.
+    Memory: (Mp+Np) x (Mp+1) int8 with x the SHORT side — the sweep state
+    (and each emitted dirs diagonal) is indexed by x, so a skewed pair run
+    long-side-first emits an O((m+n)*m) dirs buffer: 70000x24 (the
+    ``data/xulin_adversarial.dat`` shape) would be 4.6 GB and ~100 s of
+    device->host fetch, which is why the adversarial conformance run never
+    finished in rounds 1-3. Transposed runs flip the up/left tie-break
+    (``swap``) and swap the alignments back, preserving the reference's
+    byte-exact output. Big pairs use the banded Pallas fill + walk
+    (``msa_tpu.ops.pallas_walk``) instead.
     """
     from msa_tpu.utils.alignment import moves_to_alignment
 
-    xpad, ybuf, m, n, Mp, Np = _prep_pair(x, y)
+    swapped = len(x) > len(y)
+    xs, ys = (y, x) if swapped else (x, y)
+    xpad, ybuf, m, n, Mp, Np = _prep_pair(xs, ys)
     score, dirs_diag, _ = diag_sweep(
         jnp.asarray(xpad), jnp.asarray(ybuf),
         jnp.int32(m), jnp.int32(n), pxy, pgap,
+        swap=jnp.int32(1 if swapped else 0),
         emit_dirs=True,
     )
     dirs_diag = np.asarray(dirs_diag)  # (D, V); row d-1 = diagonal d
     moves = _walk_diag(dirs_diag, m, n)
-    a1, a2 = moves_to_alignment(x, y, moves)
+    a1, a2 = moves_to_alignment(xs, ys, moves)
+    if swapped:
+        a1, a2 = a2, a1
     return int(score), a1, a2
 
 

@@ -117,6 +117,21 @@ def _walk_call(
         # input header, submit/xuliny-seqalkway.cpp:44-46).
         pxy = params_ref[0, 2]
         pgap = params_ref[0, 3]
+        # Per-pair orientation flag (params col 6): 1 when the pair was
+        # transposed by the conveyor planner to minimize partial-band lane
+        # waste. The reference's tie-break prefers up over left
+        # (submit/xuliny-seqalkway.cpp:502-531); under transpose up<->left
+        # swap, so a transposed pair must prefer LEFT on ties to reproduce
+        # the original orientation's alignment byte-exactly. Implemented
+        # arithmetically: up wins iff prev1s + swap <= prev1 (swap=1 makes
+        # the compare strict).
+        swap_col = jnp.concatenate(
+            [
+                jnp.full((1, 1), params_ref[p, 6], jnp.int32)
+                for p in range(P)
+            ],
+            axis=0,
+        )
 
         lane0_w = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1) == 0
         flat_w = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
@@ -339,13 +354,15 @@ def _walk_call(
                     # already-computed operands: cur == min(t1, t2), so diag
                     # wins iff t1 <= t2, and up beats left iff
                     # prev1s <= prev1 — no extra adds on the serial chain.
+                    # Transposed pairs (swap_col = 1) flip the up/left
+                    # preference to strict: prev1s + 1 <= prev1.
                     dirs_v = jnp.where(
                         match,
                         0,
                         jnp.where(
                             t1 <= t2,
                             1,
-                            jnp.where(prev1s <= prev1, 2, 3),
+                            jnp.where(prev1s + swap_col <= prev1, 2, 3),
                         ),
                     )
                     # Pack step t-1 at bits 2*((t-1)%16); multiply by a

@@ -90,13 +90,18 @@ def sharded_pair_scores(
         num = len(packed)
         padded_num = -(-num // P_dev) * P_dev
         pad = padded_num - num
-        xpads = np.stack([p[0] for p in packed] + [packed[0][0]] * pad)
-        ybufs = np.stack([p[1] for p in packed] + [packed[0][1]] * pad)
+        # Pad with the bucket's CHEAPEST pair (fewest real cells), not
+        # pair 0 — the bucket groups by padded shape, so the compiled
+        # work is identical, but early-terminating lanes cost less
+        # (the same lesson as ops/batch.py's padding choice).
+        cheap = min(packed, key=lambda p: p[2] * p[3])
+        xpads = np.stack([p[0] for p in packed] + [cheap[0]] * pad)
+        ybufs = np.stack([p[1] for p in packed] + [cheap[1]] * pad)
         ms = np.array(
-            [p[2] for p in packed] + [packed[0][2]] * pad, dtype=np.int32
+            [p[2] for p in packed] + [cheap[2]] * pad, dtype=np.int32
         )
         ns = np.array(
-            [p[3] for p in packed] + [packed[0][3]] * pad, dtype=np.int32
+            [p[3] for p in packed] + [cheap[3]] * pad, dtype=np.int32
         )
         scores = run(
             jnp.asarray(xpads), jnp.asarray(ybufs), jnp.asarray(ms),

@@ -147,6 +147,33 @@ def test_conveyor_interpret(monkeypatch):
     assert seen == {idx: got[idx] for idx in range(len(pairs))}
 
 
+def test_conveyor_orientation_skew_interpret(monkeypatch):
+    """Extreme-aspect pairs force orientation transposes; output must stay
+    byte-exact in the CANONICAL orientation (a1 = alignment of
+    genes[pairs[idx][0]]), which exercises the transposed tie-break flag
+    (walk params col 6): up/left ties are everywhere in random DNA, so a
+    wrong preference under transpose breaks the alignment strings.
+    Mirrors data/xulin_adversarial.dat's 70000x30 skew at test scale.
+    """
+    import msa_tpu.ops.conveyor as conv
+
+    monkeypatch.setattr(conv, "CHUNK_PAD", 1)
+    rng = np.random.default_rng(31)
+    rb = max(conv.K, 1024)
+    scale = rb // 1024
+    genes = [
+        _rand_seq(rng, n * scale) for n in (2600, 16, 2100, 40, 900)
+    ]
+    pairs = [(i, j) for i in range(1, 5) for j in range(i)]  # 10 pairs
+    # Both orientations of the same skewed pair in one workload.
+    pairs += [(1, 0), (0, 1)]
+    got = conv.align_pairs_conveyor(
+        genes, pairs, 3, 2, interpret=True, rb=rb
+    )
+    for (i, j), res in zip(pairs, got):
+        assert res == nw_align_numpy(genes[i], genes[j], 3, 2), (i, j)
+
+
 def test_conveyor_many_segments_interpret(monkeypatch):
     """Segmented fill with boundaries landing mid-ramp.
 
