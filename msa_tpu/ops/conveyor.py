@@ -1022,25 +1022,43 @@ def align_pairs_conveyor(
         [np.asarray(p) for p in score_parts]
     ).reshape(-1)
     out: List[Tuple[int, str, str]] = [None] * num  # type: ignore
-    for c0, moves_s, meta_s in futs:
-        words_c = np.asarray(moves_s)  # (G, g8, P, K//16)
-        meta_c = np.asarray(meta_s)
-        for gl in range(words_c.shape[0]):
-            g = c0 + gl
-            for p in range(P_GROUP):
-                slot = g * P_GROUP + p
-                if slot >= num:
-                    break
-                idx = order[slot]
-                mv = decode_moves(words_c[gl, :, p, :], meta_c[gl, :, p, 0])
-                xi, yi = ordered[slot]
-                ax, ay = moves_to_alignment(genes[xi], genes[yi], mv)
-                # Transposed pairs swap back: a1 is always the alignment
-                # of genes[pairs[idx][0]] (the canonical hash order,
-                # submit/xuliny-seqalkway.cpp:209-214).
-                if swapped[slot]:
-                    ax, ay = ay, ax
-                out[idx] = (int(scores[slot]), ax, ay)
-                if on_result is not None:
-                    on_result(idx, out[idx])
+
+    def decode_one(slot, words_p, count_p):
+        idx = order[slot]
+        mv = decode_moves(words_p, count_p)
+        xi, yi = ordered[slot]
+        ax, ay = moves_to_alignment(genes[xi], genes[yi], mv)
+        # Transposed pairs swap back: a1 is always the alignment of
+        # genes[pairs[idx][0]] (the canonical hash order,
+        # submit/xuliny-seqalkway.cpp:209-214).
+        if swapped[slot]:
+            ax, ay = ay, ax
+        out[idx] = (int(scores[slot]), ax, ay)
+        if on_result is not None:
+            on_result(idx, out[idx])
+
+    # The decode is the only host work left on the critical tail (the
+    # vectorized moves_to_alignment and hashlib both release the GIL for
+    # their bulk), so spread the pairs of each fetched chunk over a small
+    # thread pool; chunk fetches stay in dispatch order so decode of
+    # chunk c overlaps the device's walks of chunk c+1.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for c0, moves_s, meta_s in futs:
+            words_c = np.asarray(moves_s)  # (G, g8, P, K//16)
+            meta_c = np.asarray(meta_s)
+            jobs = []
+            for gl in range(words_c.shape[0]):
+                g = c0 + gl
+                for p in range(P_GROUP):
+                    slot = g * P_GROUP + p
+                    if slot >= num:
+                        break
+                    jobs.append(pool.submit(
+                        decode_one, slot,
+                        words_c[gl, :, p, :], meta_c[gl, :, p, 0],
+                    ))
+            for j in jobs:
+                j.result()
     return out

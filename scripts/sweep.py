@@ -33,14 +33,19 @@ def e2e_sweep(args):
         [int(v) for v in args.snap_ks.split(",")],
         [int(v) for v in args.p_groups.split(",")],
         [int(v) for v in args.rb_aligns.split(",")],
+        [int(v) for v in args.fill_segments.split(",")],
+        [int(v) for v in args.walk_scan_groups.split(",")],
     ))
     records = []
-    for fill_mode, snap_k, p_group, rb_align in grid:
+    for (fill_mode, snap_k, p_group, rb_align, fill_segs,
+         walk_groups) in grid:
         env = dict(os.environ)
         env["MSA_TPU_FILL_MODE"] = fill_mode
         env["MSA_TPU_SNAP_K"] = str(snap_k)
         env["MSA_TPU_P_GROUP"] = str(p_group)
         env["MSA_TPU_RB_ALIGN"] = str(rb_align)
+        env["MSA_TPU_FILL_SEGMENTS"] = str(fill_segs)
+        env["MSA_TPU_WALK_SCAN_GROUPS"] = str(walk_groups)
         # Conveyor band height must stay a K multiple (band starts and
         # boundary-row flushes are K-aligned) — derive the closest one.
         env["MSA_TPU_RB_CONVEYOR"] = str((31744 // snap_k) * snap_k)
@@ -71,6 +76,8 @@ def e2e_sweep(args):
             "snap_k": snap_k,
             "p_group": p_group,
             "rb_align": rb_align,
+            "fill_segments": fill_segs,
+            "walk_scan_groups": walk_groups,
             "gcups_reps": vals,
             "gcups_best": max(vals) if vals else 0.0,
             "rcs": [r.get("rc") for r in reps],
@@ -98,6 +105,8 @@ def main():
         help="sweep pipeline knobs via env-configured subprocesses",
     )
     parser.add_argument("--snap-ks", default="512,1024")
+    parser.add_argument("--fill-segments", default="4")
+    parser.add_argument("--walk-scan-groups", default="4")
     parser.add_argument("--p-groups", default="4,8,16")
     parser.add_argument("--rb-aligns", default="32640")
     parser.add_argument("--fill-modes", default="banded,conveyor")
