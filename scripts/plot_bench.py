@@ -23,6 +23,26 @@ def main(path="bench_sweep.jsonl"):
         print("no records")
         return 1
 
+    # e2e sweep records (kernel=e2e_big13) carry knob columns instead of
+    # rb/gcups; print them as their own table and plot only band_score rows.
+    e2e = [r for r in records if r.get("kernel") == "e2e_big13"]
+    if e2e:
+        print(
+            f"{'fill':>9} {'snapK':>6} {'pg':>3} {'segs':>5} {'scan':>5} "
+            f"{'best':>7} {'vs cluster':>11}"
+        )
+        for r in e2e:
+            print(
+                f"{r['fill_mode']:>9} {r['snap_k']:>6} {r['p_group']:>3} "
+                f"{r.get('fill_segments', '-'):>5} "
+                f"{r.get('walk_scan_groups', '-'):>5} "
+                f"{r['gcups_best']:>7.1f} "
+                f"{r['gcups_best']/BASELINE_CLUSTER_GCUPS:>10.1f}x"
+            )
+    records = [r for r in records if r.get("kernel", "band_score") == "band_score"]
+    if not records:
+        return 0
+
     try:
         import matplotlib
 
