@@ -971,6 +971,20 @@ def align_pairs_conveyor(
     segs = max(1, DEFAULT.fill_segments)
     n_seg = _round_up(-(-plan.n_chunks // segs), 8)
     n_chunks_pad = n_seg * segs
+    # The global snapshot table is (n_chunks, 3, LANES, R) int32 — one
+    # wavefront triple per K-step chunk. Halving snap_k doubles the chunk
+    # count: big13 at K=512 needs ~8 GB of snapshots alone and dies in a
+    # raw RESOURCE_EXHAUSTED (e2e_sweep_r4). Check against HBM up front
+    # with the actual numbers instead.
+    snaps_bytes = n_chunks_pad * 3 * LANES * (v_len // LANES) * 4
+    hbm_budget = 12 << 30  # leave headroom for brow/feeds/walk buffers
+    if snaps_bytes > hbm_budget:
+        raise ValueError(
+            f"conveyor snapshot table needs {snaps_bytes / 2**30:.1f} GiB "
+            f"({n_chunks_pad} chunks x 3 x {v_len} lanes at snap_k={K}) — "
+            "over the chip's HBM budget; raise snap_k or split the "
+            "workload (models/kway shards big-pair batches per device)"
+        )
     y_conv, xtiles, tables_dev = _conveyor_prepare(
         table_dev, jnp.asarray(band_specs),
         jnp.asarray(np.ascontiguousarray(tables[:, :16])),
