@@ -32,9 +32,14 @@ class EngineConfig:
     # (they seed each other, so one knob). 1024 measured best (512: 2x the
     # walk's per-slot fixed overhead; see docs/PERF.md).
     snap_k: int = 1024
-    # Big-pair fill strategy: "conveyor" (band-interleaved single sweep,
-    # zero ramp waste) or "banded" (per-pair band sweeps, ops/batch).
-    fill_mode: str = "conveyor"
+    # Big-pair fill strategy: "auto" (route per workload shape — many
+    # pairs ride the conveyor, few giant pairs the per-pair banded path;
+    # models/kway logs the decision), "conveyor" (band-interleaved single
+    # sweep, zero ramp waste) or "banded" (per-pair band sweeps,
+    # ops/batch). The reference's real lesson was strategy selection by
+    # workload (its S1..S7 evolution, SURVEY.md §2.2) — "auto" is that
+    # lesson applied to the fill.
+    fill_mode: str = "auto"
     # Conveyor band height: must be a multiple of snap_k so band starts and
     # boundary-row flushes stay K-aligned (31 * 1024).
     rb_conveyor: int = 31744
@@ -59,17 +64,31 @@ class EngineConfig:
     # Max supported sequence length (the spec's ~100k, Project2B.pdf p.5);
     # sizes the compiled band grid (X_CAP / Y_CAP).
     max_seq_len: int = 100_352
-    # Pair schedule policy for the multi-process engine: "lpt" (cost = m*n,
-    # the reference's proven testing8 design), "calibrated" (LPT over the
-    # measured wall-clock model: process 0 calibrates on its accelerator and
+    # Pair schedule policy for the multi-process engine: "calibrated" (LPT
+    # over the measured wall-clock model: process 0 calibrates on its
+    # accelerator — cached on disk, so ~free after first use — and
     # broadcasts the parameters so every process derives the identical
-    # schedule), or "block" (the reference's S1 layout, kept for parity).
-    schedule_policy: str = "lpt"
+    # schedule; falls back to "lpt" when calibration is unavailable),
+    # "lpt" (cost = m*n, the reference's proven testing8 design), or
+    # "block" (the reference's S1 layout, kept for parity). Calibrated
+    # beats analytic LPT on skewed workloads (5.85 vs 7.36 s makespan,
+    # artifacts/schedule_compare_r4.json) because the fixed per-pair
+    # dispatch cost dominates tiny pairs.
+    schedule_policy: str = "calibrated"
     # Local devices to shard the alignment pipeline over WITHIN one process
     # (a real TPU host is 1 process x 4-8 chips). 0 = all local devices;
     # 1 = single-device (the pre-r4 behavior). Pairs are LPT-split and each
     # device runs the full fill+walk pipeline concurrently (models/kway).
     local_devices: int = 0
+    # HBM budget in bytes for the conveyor's snapshot table. 0 = query the
+    # device (memory_stats bytes_limit, minus headroom for brow/feeds/walk
+    # buffers) with a 12 GiB fallback when the device doesn't report.
+    # Workloads whose snapshot table exceeds the budget are split into
+    # multiple conveyor sweeps automatically (ops/conveyor).
+    hbm_budget: int = 0
+    # Host threads decoding fetched walk chunks (numpy + sha512 release
+    # the GIL for their bulk, so > cpu_count still helps hide latency).
+    decode_workers: int = 4
     # Emit jax.profiler traces to this directory when set.
     profile_dir: Optional[str] = None
     # Run the Pallas kernels in interpret mode and allow the batched device

@@ -25,6 +25,36 @@ from msa_tpu.utils.msaio import Problem
 from msa_tpu.utils.tasks import pair_task_list
 
 
+def choose_fill_mode(genes: Sequence[str], batched) -> str:
+    """Route the big-pair fill strategy per workload shape.
+
+    The reference's real lesson was strategy selection by workload — its
+    S1..S7 evolution picked a different schedule per node/pair shape
+    (SURVEY.md §2.2). The TPU analog: the conveyor amortizes band ramps
+    ACROSS pairs, so it wins once there are several bands to interleave;
+    a workload of very few pairs leaves the conveyor's schedule mostly
+    ramp (and pays a workload-shaped compile), where the per-pair banded
+    path reuses the fixed-geometry kernel. Routing rule (warm-measured,
+    ``artifacts/spec_cap_r5.json``): conveyor at >= ``_CONVEYOR_MIN_PAIRS``
+    eligible pairs, banded below. ``config.fill_mode`` forces either.
+    """
+    from msa_tpu.config import DEFAULT
+
+    if DEFAULT.fill_mode != "auto":
+        return DEFAULT.fill_mode
+    mode = "conveyor" if len(batched) >= _CONVEYOR_MIN_PAIRS else "banded"
+    from msa_tpu.utils.logging import get_logger
+
+    get_logger("msa_tpu.kway").info(
+        "fill-mode auto: %d big pairs -> %s", len(batched), mode
+    )
+    return mode
+
+
+# Minimum eligible big pairs for the conveyor under fill_mode="auto".
+_CONVEYOR_MIN_PAIRS = 3
+
+
 @dataclasses.dataclass
 class KWayResult:
     chain_hash: str
@@ -72,10 +102,10 @@ class KWayAligner:
         remaining = [t for t in tasks if t.task_id not in results]
         batched = self._batched_tasks(genes, remaining)
         if batched:
-            from msa_tpu.config import DEFAULT
             from msa_tpu.utils.hashing import pair_hash
 
-            if DEFAULT.fill_mode == "conveyor":
+            mode = choose_fill_mode(genes, batched)
+            if mode == "conveyor":
                 # Band-interleaved single sweep: every band of every pair
                 # rides one continuous wavefront — no per-band ramp/drain
                 # waste (ops/conveyor).

@@ -823,6 +823,92 @@ def _group_walk_inputs(
     return outs
 
 
+def hbm_snapshot_budget() -> int:
+    """HBM bytes available to the conveyor's snapshot table.
+
+    Config override first (``MSA_TPU_HBM_BUDGET``); otherwise the device's
+    reported ``bytes_limit`` minus 25% headroom for brow/feeds/walk
+    buffers; 12 GiB fallback when the device reports nothing (the v5e
+    number the headroom fraction was derived on: 16 GiB * 0.75).
+    """
+    from msa_tpu.config import DEFAULT
+
+    if DEFAULT.hbm_budget:
+        return DEFAULT.hbm_budget
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return int(limit * 0.75)
+    except Exception:
+        pass
+    return 12 << 30
+
+
+def plan_workload(
+    genes: Sequence[str],
+    pairs: Sequence[Tuple[int, int]],
+    rb: int = RB_CONV,
+):
+    """Deterministic workload plan: size order, per-pair orientation, bands.
+
+    Returns ``(order, ordered, swapped, plan)``: ``order[r]`` is the
+    caller-index of the r-th pair in size-descending conveyor order;
+    ``ordered[r]`` its (xi, yi) gene indices after orientation;
+    ``swapped[r]`` whether it was transposed; ``plan`` the K-aligned band
+    schedule.
+
+    Orientation minimizes conveyor lane-steps: a band of x-length m,
+    y-length n occupies the conveyor for ~max(n, rb) + K steps (its
+    successor waits on prev_n + K with an rb + K floor), so a pair costs
+    ceil(m/rb) * (max(n, rb) + K) steps of rb lanes. The partial last
+    band (m % rb rows) wastes (rb - m % rb) lanes for its whole residency
+    — on big13 that is 24% of all lane-steps under the fixed (i, j)
+    orientation, 13% recovered by choosing per pair. Transposed pairs
+    carry a tie-break flag (params col 6) so the walk reproduces the
+    original orientation's alignment byte-exactly (see _walk_call).
+    """
+    num = len(pairs)
+    order = sorted(
+        range(num),
+        key=lambda idx: -(
+            len(genes[pairs[idx][0]]) + len(genes[pairs[idx][1]])
+        ),
+    )
+
+    def orient(i, j):
+        cands = []
+        for xi, yi, sw in ((i, j, 0), (j, i, 1)):
+            mm, nn = len(genes[xi]), len(genes[yi])
+            nb = max(1, -(-mm // rb))
+            if nb <= 4:
+                cands.append((nb * (max(nn, rb) + K), sw, xi, yi))
+        if not cands:
+            raise ValueError(
+                f"pair ({i}, {j}) with lengths "
+                f"({len(genes[i])}, {len(genes[j])}) exceeds 4 conveyor "
+                f"bands in both orientations at rb={rb}; raise rb (the "
+                "walk per-band tables hold 4 bands)"
+            )
+        cands.sort()
+        _, sw, xi, yi = cands[0]
+        return xi, yi, sw
+
+    oriented = [orient(*pairs[idx]) for idx in order]
+    ordered = [(xi, yi) for xi, yi, _ in oriented]
+    swapped = [sw for _, _, sw in oriented]
+    plan = plan_conveyor(genes, ordered, rb=rb)
+    return order, ordered, swapped, plan
+
+
+def plan_snapshot_bytes(plan: ConveyorPlan) -> int:
+    """HBM bytes the plan's snapshot table will occupy after segment
+    padding (mirrors the n_chunks_pad computation in the driver)."""
+    segs = max(1, DEFAULT.fill_segments)
+    n_chunks_pad = _round_up(-(-plan.n_chunks // segs), 8) * segs
+    return n_chunks_pad * 3 * plan.v_len * 4
+
+
 def align_pairs_conveyor(
     genes: Sequence[str],
     pairs: Sequence[Tuple[int, int]],  # (i, j) gene indices per pair
@@ -836,7 +922,15 @@ def align_pairs_conveyor(
 
     ``on_result(idx, (penalty, a1, a2))`` fires as each pair's walk chunk
     decodes — a crash mid-workload journals every finished pair (the fill
-    itself is one device call and is all-or-nothing by design).
+    itself is one device call and is all-or-nothing by design). Callbacks
+    may be invoked CONCURRENTLY from the decode worker threads; callers
+    with non-thread-safe state must lock (the in-repo journal caller
+    does, ``models/kway.py``).
+
+    Workloads whose snapshot table would exceed the device HBM budget
+    (``hbm_snapshot_budget``) are split into balanced sub-sweeps
+    automatically — the TPU-native analog of the reference sizing itself
+    to its 32 GB node budget by design (``testing15/template.slurm:5``).
     """
     from msa_tpu.config import DEFAULT
     from msa_tpu.ops.pallas_walk import (
@@ -850,41 +944,51 @@ def align_pairs_conveyor(
 
     P_GROUP = DEFAULT.p_group
     num = len(pairs)
-    order = sorted(
-        range(num),
-        key=lambda idx: -(
-            len(genes[pairs[idx][0]]) + len(genes[pairs[idx][1]])
-        ),
-    )
-
-    def orient(i, j):
-        """Orientation (xi, yi, swapped) minimizing conveyor lane-steps.
-
-        A band of x-length m, y-length n occupies the conveyor for
-        ~max(n, rb) + K steps (its successor waits on prev_n + K with an
-        rb + K floor), so a pair costs ceil(m/rb) * (max(n, rb) + K)
-        steps of rb lanes. The partial last band (m % rb rows) wastes
-        (rb - m % rb) lanes for its whole residency — on big13 that is
-        24% of all lane-steps under the fixed (i, j) orientation, 13%
-        recovered by choosing per pair. Transposed pairs carry a tie-break
-        flag (params col 6) so the walk reproduces the original
-        orientation's alignment byte-exactly (see _walk_call).
-        """
-        cands = []
-        for xi, yi, sw in ((i, j, 0), (j, i, 1)):
-            mm, nn = len(genes[xi]), len(genes[yi])
-            nb = max(1, -(-mm // rb))
-            if nb <= 4:
-                cands.append((nb * (max(nn, rb) + K), sw, xi, yi))
-        cands.sort()
-        _, sw, xi, yi = cands[0]
-        return xi, yi, sw
-
-    oriented = [orient(*pairs[idx]) for idx in order]
-    ordered = [(xi, yi) for xi, yi, _ in oriented]
-    swapped = [sw for _, _, sw in oriented]
-    plan = plan_conveyor(genes, ordered, rb=rb)
+    order, ordered, swapped, plan = plan_workload(genes, pairs, rb=rb)
     v_len = plan.v_len
+
+    # HBM feasibility BEFORE any device work: the snapshot table is
+    # (n_chunks_pad, 3, v_len) int32. Over budget -> split the workload
+    # into two balanced sub-sweeps and recurse (each side re-checks);
+    # a single over-budget pair is genuinely infeasible at this snap_k.
+    snaps_bytes = plan_snapshot_bytes(plan)
+    budget = hbm_snapshot_budget()
+    if snaps_bytes > budget:
+        if num < 2:
+            raise ValueError(
+                f"conveyor snapshot table needs {snaps_bytes / 2**30:.1f} "
+                f"GiB ({plan.n_chunks} chunks x 3 x {v_len} lanes at "
+                f"snap_k={K}) for a single pair — over the "
+                f"{budget / 2**30:.1f} GiB HBM budget; raise snap_k"
+            )
+        from msa_tpu.utils.logging import get_logger
+
+        get_logger("msa_tpu.conveyor").info(
+            "snapshot table %.1f GiB > %.1f GiB HBM budget: splitting %d "
+            "pairs into two conveyor sweeps",
+            snaps_bytes / 2**30, budget / 2**30, num,
+        )
+        # Alternate the size-sorted pairs between the halves so both
+        # sweeps' chunk counts land near half of the original.
+        halves = (
+            [idx for r, idx in enumerate(order) if r % 2 == 0],
+            [idx for r, idx in enumerate(order) if r % 2 == 1],
+        )
+        out_split: List[Tuple[int, str, str]] = [None] * num  # type: ignore
+        for idxs in halves:
+            cb = None
+            if on_result is not None:
+                def cb(si, triple, idxs=idxs):
+                    on_result(idxs[si], triple)
+
+            sub = align_pairs_conveyor(
+                genes, [pairs[i] for i in idxs], pxy, pgap,
+                interpret=interpret, rb=rb, on_result=cb,
+            )
+            for si, i in enumerate(idxs):
+                out_split[i] = sub[si]
+        return out_split
+
     tables = build_chunk_tables(plan)
     nb_max = 4
     y_cap = max(Y_CAP if not interpret else 0, plan.ymax)
@@ -971,20 +1075,6 @@ def align_pairs_conveyor(
     segs = max(1, DEFAULT.fill_segments)
     n_seg = _round_up(-(-plan.n_chunks // segs), 8)
     n_chunks_pad = n_seg * segs
-    # The global snapshot table is (n_chunks, 3, LANES, R) int32 — one
-    # wavefront triple per K-step chunk. Halving snap_k doubles the chunk
-    # count: big13 at K=512 needs ~8 GB of snapshots alone and dies in a
-    # raw RESOURCE_EXHAUSTED (e2e_sweep_r4). Check against HBM up front
-    # with the actual numbers instead.
-    snaps_bytes = n_chunks_pad * 3 * LANES * (v_len // LANES) * 4
-    hbm_budget = 12 << 30  # leave headroom for brow/feeds/walk buffers
-    if snaps_bytes > hbm_budget:
-        raise ValueError(
-            f"conveyor snapshot table needs {snaps_bytes / 2**30:.1f} GiB "
-            f"({n_chunks_pad} chunks x 3 x {v_len} lanes at snap_k={K}) — "
-            "over the chip's HBM budget; raise snap_k or split the "
-            "workload (models/kway shards big-pair batches per device)"
-        )
     y_conv, xtiles, tables_dev = _conveyor_prepare(
         table_dev, jnp.asarray(band_specs),
         jnp.asarray(np.ascontiguousarray(tables[:, :16])),
@@ -1058,7 +1148,9 @@ def align_pairs_conveyor(
     # chunk c overlaps the device's walks of chunk c+1.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(
+        max_workers=max(1, DEFAULT.decode_workers)
+    ) as pool:
         for c0, moves_s, meta_s in futs:
             words_c = np.asarray(moves_s)  # (G, g8, P, K//16)
             meta_c = np.asarray(meta_s)

@@ -63,23 +63,34 @@ def main():
     results["banded_exact"] = bool(ok_banded)
 
     # Conveyor path needs >= 2 pairs; run both orientations in one sweep.
+    # r4 reported ONE cold number (31.6 s) that conflated Mosaic compile
+    # with run — time a cold and a warm pass separately so the routing
+    # decision (models/kway.choose_fill_mode) rests on the warm number.
     from msa_tpu.ops.conveyor import align_pairs_conveyor
 
     host_rev = nw_align_numpy_blocked(y, x, 3, 2)
     t0 = time.time()
     got = align_pairs_conveyor(genes, pairs, 3, 2)
-    t_conv = time.time() - t0
-    ok_conv = got[0] == host and got[1] == host_rev
+    t_cold = time.time() - t0
+    t0 = time.time()
+    got2 = align_pairs_conveyor(genes, pairs, 3, 2)
+    t_warm = time.time() - t0
+    ok_conv = (
+        got[0] == host and got[1] == host_rev
+        and got2[0] == host and got2[1] == host_rev
+    )
     print(
-        f"conveyor device (2 pairs): {t_conv:.2f}s = "
-        f"{2*cells/t_conv/1e9:.1f} GCUPS "
+        f"conveyor device (2 pairs): cold {t_cold:.2f}s, warm "
+        f"{t_warm:.2f}s = {2*cells/t_warm/1e9:.1f} GCUPS "
         f"{'MATCH' if ok_conv else 'MISMATCH'}",
         flush=True,
     )
-    results["conveyor_2pair_s"] = round(t_conv, 3)
+    results["conveyor_2pair_cold_s"] = round(t_cold, 3)
+    results["conveyor_2pair_warm_s"] = round(t_warm, 3)
+    results["conveyor_warm_gcups"] = round(2 * cells / t_warm / 1e9, 1)
     results["conveyor_exact"] = bool(ok_conv)
 
-    with open("/root/repo/artifacts/spec_cap_r4.json", "w") as f:
+    with open("/root/repo/artifacts/spec_cap_r5.json", "w") as f:
         json.dump(results, f, indent=1)
     print("PASS" if ok_banded and ok_conv else "FAIL", flush=True)
     return 0 if ok_banded and ok_conv else 1

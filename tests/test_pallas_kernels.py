@@ -200,6 +200,60 @@ def test_conveyor_many_segments_interpret(monkeypatch):
         assert res == nw_align_numpy(genes[i], genes[j], 3, 2), (i, j)
 
 
+def test_conveyor_hbm_autosplit_interpret(monkeypatch):
+    """Over-budget snapshot table -> workload splits into sub-sweeps.
+
+    The reference sized itself to its 32 GB node budget by design
+    (testing15/template.slurm:5); the conveyor's analog queries the device
+    budget and splits the pair list automatically. Force a budget between
+    one half's table and the full workload's: the run must split (>= 3
+    planner invocations: full + two halves) and stay byte-exact.
+    """
+    import msa_tpu.ops.conveyor as conv
+
+    monkeypatch.setattr(conv, "CHUNK_PAD", 1)
+    rng = np.random.default_rng(7)
+    rb = max(conv.K, 1024)
+    scale = rb // 1024
+    genes = [
+        _rand_seq(rng, n * scale) for n in (2600, 2200, 1800, 1400)
+    ]
+    pairs = [(i, j) for i in range(1, 4) for j in range(i)]  # 6 pairs
+
+    # Size the forced budget from the full workload's own estimate (the
+    # same orientation + plan the driver will derive).
+    _, _, _, plan = conv.plan_workload(genes, pairs, rb=rb)
+    full_bytes = conv.plan_snapshot_bytes(plan)
+    monkeypatch.setattr(conv.DEFAULT, "hbm_budget", int(full_bytes * 0.8))
+
+    calls = {"n": 0}
+    real_plan = conv.plan_conveyor
+
+    def counting_plan(*a, **kw):
+        calls["n"] += 1
+        return real_plan(*a, **kw)
+
+    monkeypatch.setattr(conv, "plan_conveyor", counting_plan)
+    got = conv.align_pairs_conveyor(
+        genes, pairs, 3, 2, interpret=True, rb=rb
+    )
+    assert calls["n"] >= 3, "workload did not split"
+    for (i, j), res in zip(pairs, got):
+        assert res == nw_align_numpy(genes[i], genes[j], 3, 2), (i, j)
+
+
+def test_conveyor_single_pair_over_budget_raises(monkeypatch):
+    import msa_tpu.ops.conveyor as conv
+    import pytest
+
+    monkeypatch.setattr(conv.DEFAULT, "hbm_budget", 1)
+    with pytest.raises(ValueError, match="single pair"):
+        conv.align_pairs_conveyor(
+            ["A" * 2048, "C" * 2048], [(0, 1)], 3, 2,
+            interpret=True, rb=1024,
+        )
+
+
 def test_conveyor_planner_event_collisions():
     """Score events must never collide in a K-chunk (planner defers starts).
 

@@ -161,3 +161,60 @@ def test_calibrated_schedule_policy():
         (t.task_id, c) for t, c in pair_costs_calibrated(genes, model)
     )
     assert costs[0] == model.cost_us(2000, 2000)
+
+
+def test_calibration_cache_roundtrip(tmp_path, monkeypatch):
+    """Calibrations persist keyed by device kind + kernel version."""
+    from msa_tpu.parallel.costmodel import (
+        CalibratedCost,
+        load_cached_calibration,
+        save_calibration,
+    )
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    assert load_cached_calibration("TPU v5e", 20000, 2048) is None
+    model = CalibratedCost(gcups=142.5, fixed_us=31250.0)
+    save_calibration("TPU v5e", 20000, 2048, model)
+    got = load_cached_calibration("TPU v5e", 20000, 2048)
+    assert got == model
+    # Different device kind / sample geometry: distinct keys.
+    assert load_cached_calibration("TPU v4", 20000, 2048) is None
+    assert load_cached_calibration("TPU v5e", 20000, 4096) is None
+
+
+def test_choose_fill_mode_routing(monkeypatch):
+    """fill_mode=auto routes few giant pairs to banded, many to conveyor;
+    explicit modes are forced through (the reference's
+    strategy-per-workload lesson, SURVEY.md §2.2)."""
+    from msa_tpu.config import DEFAULT
+    from msa_tpu.models.kway import choose_fill_mode
+
+    genes = ["A" * 100, "C" * 100, "G" * 100, "T" * 100]
+    monkeypatch.setattr(DEFAULT, "fill_mode", "auto")
+    assert choose_fill_mode(genes, [None, None]) == "banded"
+    assert choose_fill_mode(genes, [None, None, None]) == "conveyor"
+    monkeypatch.setattr(DEFAULT, "fill_mode", "conveyor")
+    assert choose_fill_mode(genes, [None]) == "conveyor"
+    monkeypatch.setattr(DEFAULT, "fill_mode", "banded")
+    assert choose_fill_mode(genes, [None] * 10) == "banded"
+
+
+def test_band_striped_alignment_8_devices():
+    """Band-striped cross-chip fill: pipelined stripe sweep with chunked
+    boundary-row streaming (one ppermute per K columns, not per diagonal)
+    stays byte-exact vs the oracle, including walks crossing stripes."""
+    from msa_tpu.ops.nw_striped import nw_align_band_striped
+    from msa_tpu.ops.reference import nw_align_numpy
+    from msa_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh(8)
+    rng = np.random.default_rng(17)
+    for (m, n, pxy, pgap, kc) in [
+        (301, 287, 3, 2, 64),
+        (850, 1100, 5, 1, 128),  # n > m: walk leaves by the left border
+        (2100, 1900, 3, 2, 256),
+    ]:
+        x = "".join(rng.choice(list("ACGT"), m))
+        y = "".join(rng.choice(list("ACGT"), n))
+        got = nw_align_band_striped(x, y, pxy, pgap, mesh, kchunk=kc)
+        assert got == nw_align_numpy(x, y, pxy, pgap), (m, n)
