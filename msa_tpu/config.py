@@ -80,6 +80,15 @@ class EngineConfig:
     # 1 = single-device (the pre-r4 behavior). Pairs are LPT-split and each
     # device runs the full fill+walk pipeline concurrently (models/kway).
     local_devices: int = 0
+    # Issue each pair's next-slot seed/feed DMAs at the end of its walk
+    # (overlapped with the remaining pairs' walks) instead of at the next
+    # slot's entry. 0 = the r4 entry-issue behavior (A/B knob).
+    walk_prefetch: int = 1
+    # Walk slot-budget granularity: "chunk" sizes g8 per scan chunk
+    # (fewer slots for small-pair chunks, 2-3 compiled shapes), "global"
+    # one workload-wide budget (the r4 behavior, 1 shape). Runtime knob —
+    # it only picks dispatch shapes, both compile lazily.
+    walk_g8_mode: str = "chunk"
     # HBM budget in bytes for the conveyor's snapshot table. 0 = query the
     # device (memory_stats bytes_limit, minus headroom for brow/feeds/walk
     # buffers) with a 12 GiB fallback when the device doesn't report.

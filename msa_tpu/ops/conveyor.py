@@ -734,12 +734,13 @@ def _conveyor_prepare(gene_table, band_specs, tables16, *,
     static_argnames=(
         "p1", "yfw_len", "yrev_len", "y_cap", "ypad_len",
         "p_group", "g8", "num_bands", "rb", "v_len", "interpret",
+        "prefetch",
     ),
 )
 def _conveyor_group_walk(
     snaps_flat, brow, gene_table, gpp_g, *,
     p1, yfw_len, yrev_len, y_cap, ypad_len,
-    p_group, g8, num_bands, rb, v_len, interpret=False,
+    p_group, g8, num_bands, rb, v_len, interpret=False, prefetch=True,
 ):
     """One-dispatch group walk: feed build + the P-wide walk kernel."""
     xs_s, yfw_s, yrev_s, wparams = _group_walk_inputs(
@@ -753,7 +754,7 @@ def _conveyor_group_walk(
         snaps_flat, brow, xs_s, yfw_s, yrev_s, wparams,
         p_group=p_group, g8=g8, num_bands=num_bands,
         rb=rb, v_len=v_len, interpret=interpret,
-        rows_at_col_index=True,
+        rows_at_col_index=True, prefetch=prefetch,
     )
 
 
@@ -762,12 +763,13 @@ def _conveyor_group_walk(
     static_argnames=(
         "p1", "yfw_len", "yrev_len", "y_cap", "ypad_len",
         "p_group", "g8", "num_bands", "rb", "v_len", "interpret",
+        "prefetch",
     ),
 )
 def _conveyor_walk_scan(
     snaps_flat, brow, gene_table, gpp_chunk, *,
     p1, yfw_len, yrev_len, y_cap, ypad_len,
-    p_group, g8, num_bands, rb, v_len, interpret=False,
+    p_group, g8, num_bands, rb, v_len, interpret=False, prefetch=True,
 ):
     """Several groups' walks in ONE dispatch (lax.scan over groups).
 
@@ -783,7 +785,7 @@ def _conveyor_walk_scan(
             p1=p1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
             ypad_len=ypad_len,
             p_group=p_group, g8=g8, num_bands=num_bands,
-            rb=rb, v_len=v_len, interpret=interpret,
+            rb=rb, v_len=v_len, interpret=interpret, prefetch=prefetch,
         )
         return carry, (moves, meta)
 
@@ -1050,20 +1052,18 @@ def align_pairs_conveyor(
         rows[slot, 26] = P1 + P0 + n - y_cap
     gpp = jnp.asarray(rows).reshape(-1, P_GROUP, 32)
     n_groups = p_pad // P_GROUP
-    # Slot budget sized to the WORKLOAD, not the cap: a pair's walk needs
-    # at most (m+n)//K + 2*nb + 4 slots (walk_slot_budget); bucket to 64 so
-    # similar workloads share one compile. Shorter-pair groups just finish
-    # early (any_active skips their tail slots).
-    need = max(
-        walk_slot_budget(
-            len(genes[i]) + len(genes[j]), nb_max
-        )
+    # Slot budget sized PER SCAN CHUNK, not per workload: a pair's walk
+    # needs at most (m+n)//K + 2*nb + 4 slots (walk_slot_budget), and
+    # pairs are size-sorted, so later chunks hold smaller pairs needing
+    # far fewer slots — a chunk-global budget would burn ~100 us of
+    # near-empty slot overhead per excess slot (the r3 g8 258->192
+    # measurement). Bucket to 64 so similar chunks share one compiled
+    # walk program (2-3 distinct shapes per workload, all cached).
+    g8_cap = walk_slot_budget(nb_max * rb + y_cap, nb_max)
+    needs = [
+        walk_slot_budget(len(genes[i]) + len(genes[j]), nb_max)
         for i, j in ordered
-    )
-    g8 = min(
-        walk_slot_budget(nb_max * rb + y_cap, nb_max),
-        _round_up(need, 64),
-    )
+    ]
 
     # Segmented fill: the sweep is dispatched as `segs` equal chunk ranges
     # (state carried between calls, snaps/brow written in place), and each
@@ -1087,11 +1087,19 @@ def align_pairs_conveyor(
 
     walk_c0s = list(range(0, n_groups, CH))
     ready = []
+    g8_chunks = []
     for cw in walk_c0s:
         slots = range(cw * P_GROUP, min((cw + CH) * P_GROUP, p_pad))
         ready.append(max(
             plan.pair_ready[s] if s < num else 0 for s in slots
         ))
+        if DEFAULT.walk_g8_mode == "global":
+            need_c = max(needs)
+        else:
+            need_c = max(
+                (needs[s] for s in slots if s < num), default=64
+            )
+        g8_chunks.append(min(g8_cap, _round_up(need_c, 64)))
 
     score_parts = []
     futs = []
@@ -1115,8 +1123,9 @@ def align_pairs_conveyor(
                 snaps_flat, brow, table_dev, gpp[cw : cw + CH],
                 p1=P1, yfw_len=yfw_len, yrev_len=yrev_len, y_cap=y_cap,
                 ypad_len=y_cap,
-                p_group=P_GROUP, g8=g8, num_bands=nb_max,
+                p_group=P_GROUP, g8=g8_chunks[wq], num_bands=nb_max,
                 rb=rb, v_len=v_len, interpret=interpret,
+                prefetch=bool(DEFAULT.walk_prefetch),
             )
             futs.append((cw, moves_s, meta_s))
             wq += 1

@@ -74,7 +74,7 @@ if _dirs_bytes > _SMEM_BYTES - (64 << 10):
     jax.jit,
     static_argnames=(
         "p_group", "g8", "num_bands", "rb", "v_len", "interpret",
-        "rows_at_col_index",
+        "rows_at_col_index", "prefetch",
     ),
 )
 def _walk_call(
@@ -97,10 +97,14 @@ def _walk_call(
     v_len: int,
     interpret: bool = False,
     rows_at_col_index: bool = False,
+    prefetch: bool = True,
 ):
     """``rows_at_col_index``: boundary rows store column j at index j (the
     conveyor fill's aligned-flush layout) instead of at index j-1; the
     top-feed chunks then read one extra subchunk and pre-roll by one lane.
+    ``prefetch``: issue the next slot's seed/feed DMAs at the end of each
+    pair's walk (overlapped with the remaining walks) instead of at the
+    next slot's entry.
     """
     P = p_group
     assert num_bands <= 4, "per-band tables hold 4 bands (params cols 8..15)"
@@ -187,19 +191,27 @@ def _walk_call(
             # --- DMA seeds and feeds, one set per live pair ---
             # All sliced leading dims ride axis 0 (untiled); the trailing
             # (1, len) blocks are full/128-aligned, as Mosaic DMA requires.
-            def copies_for(p):
+            def copies_for(p, i0=None, dl0=None, w0=None, sbase=None,
+                           rowslot=None):
                 yoff = params_ref[p, 4]
                 p1 = params_ref[p, 5]
-                w0 = w0s[p]
-                dl0 = dl0s[p]
+                i0 = i0s[p] if i0 is None else i0
+                dl0 = dl0s[p] if dl0 is None else dl0
+                w0 = w0s[p] if w0 is None else w0
+                sbase = sbases[p] if sbase is None else sbase
+                rowslot = rowslots[p] if rowslot is None else rowslot
                 # Destination slices ride the untiled leading axis only
                 # (sublane-dim slicing is not 8-aligned and Mosaic rejects
                 # it); the (P, W) loop state is assembled from these rows
                 # with broadcast+select below.
+                # Three separate row DMAs, NOT one (3, 1, W) strided copy:
+                # the fused form was tried in r5 with no measurable win
+                # (subprocess A/B was drowned by pool drift; the simple
+                # row copies are kept as the known-good form).
                 cps = [
                     pltpu.make_async_copy(
                         snaps_ref.at[
-                            pl.ds(sbases[p] + r, 1), :,
+                            pl.ds(sbase + r, 1), :,
                             pl.ds(pl.multiple_of(w0, LANES), W),
                         ],
                         seeds.at[pl.ds(3 * p + r, 1)],
@@ -210,7 +222,7 @@ def _walk_call(
                 cps.append(pltpu.make_async_copy(
                     xs_ref.at[
                         pl.ds(p, 1), :,
-                        pl.ds(pl.multiple_of(i0s[p] + w0, LANES), W),
+                        pl.ds(pl.multiple_of(i0 + w0, LANES), W),
                     ],
                     xw.at[pl.ds(p, 1)],
                     sem.at[p, 3],
@@ -233,7 +245,7 @@ def _walk_call(
                 ))
                 cps.append(pltpu.make_async_copy(
                     rows_ref.at[
-                        pl.ds(rowslots[p], 1), :,
+                        pl.ds(rowslot, 1), :,
                         pl.ds(
                             pl.multiple_of(dl0, LANES),
                             K + LANES if rows_at_col_index else K,
@@ -244,8 +256,17 @@ def _walk_call(
                 ))
                 return cps
 
+            # Slots after the first only WAIT here: the issues ran at the
+            # end of the PREVIOUS slot, right after each pair's scalar
+            # walk updated its position (the vector scratch is dead during
+            # walks — they read only the packed dirs in SMEM — so the
+            # prefetch overwrites in place, no double buffer). The wait
+            # descriptors are recomputed from the same carried st, so
+            # they match the issued ones exactly.
             for p in range(P):
-                @pl.when(actives[p])
+                @pl.when(
+                    ((g == 0) if prefetch else True) & actives[p]
+                )
                 def _(p=p):
                     for cp in copies_for(p):
                         cp.start()
@@ -505,6 +526,32 @@ def _walk_call(
                 def _(p=p):
                     sdirs_copy(p, p % 2).wait()
                     walk_for(p, p % 2)
+                    if not prefetch:
+                        return
+                    # Prefetch slot g+1's seeds/feeds for this pair from
+                    # its just-updated position: the DMAs overlap the
+                    # remaining pairs' scalar walks instead of serializing
+                    # at the next slot's entry (which then only waits).
+                    # Never issued on the last slot or for finished pairs
+                    # — every issue has exactly one matching wait.
+                    @pl.when((st[3 * p + 2] == 0) & (g < g8 - 1))
+                    def _(p=p):
+                        i_n = st[3 * p + 0]
+                        j_n = st[3 * p + 1]
+                        b_n = jnp.maximum(i_n - 1, 0) // rb
+                        i0_n = b_n * rb
+                        q_n = i_n - i0_n
+                        dl_n = q_n + j_n
+                        s_n = jnp.maximum(dl_n - 1, 0) // K
+                        w0_n = jnp.clip(
+                            ((q_n - K) // LANES) * LANES, 0, v_len - W
+                        )
+                        sbase_n = (params_ref[p, 8 + b_n] + s_n) * 3
+                        rowslot_n = params_ref[p, 12 + b_n]
+                        for cp in copies_for(
+                            p, i0_n, s_n * K, w0_n, sbase_n, rowslot_n
+                        ):
+                            cp.start()
 
     moves, meta = pl.pallas_call(
         kernel,

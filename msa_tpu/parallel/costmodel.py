@@ -149,8 +149,10 @@ def calibrate(
         return None
     d_cells = sample_len * sample_len - small_len * small_len
     gcups = d_cells / (t_big - t_small) / 1e9
-    # Physical ceiling: the VPU bound estimate is ~200 GCUPS (docs/PERF.md);
-    # anything past 1000 is a measurement artifact, not a device.
+    # Physical ceiling: ~200 GCUPS derived from the fill's 12.1 ops/cell
+    # at the VPU's measured 2.4 vreg-issues/cycle (docs/PERF.md,
+    # "Speed-of-light" section); anything past 1000 is a measurement
+    # artifact, not a device.
     gcups = min(max(gcups, 1.0), 1000.0)
     fixed_us = max(t_small * 1e6 - small_len * small_len / gcups / 1e3, 0.0)
     model = CalibratedCost(gcups=gcups, fixed_us=fixed_us)
