@@ -84,6 +84,10 @@ class EngineConfig:
     # (overlapped with the remaining pairs' walks) instead of at the next
     # slot's entry. 0 = the r4 entry-issue behavior (A/B knob).
     walk_prefetch: int = 1
+    # Moves per fast-loop iteration of the scalar walk (the loop guard
+    # costs ~3 compares per burst; bigger bursts amortize it, with up to
+    # burst-1 extra boundary moves falling to the exact slow loop).
+    walk_burst: int = 4
     # Walk slot-budget granularity: "chunk" sizes g8 per scan chunk
     # (fewer slots for small-pair chunks, 2-3 compiled shapes), "global"
     # one workload-wide budget (the r4 behavior, 1 shape). Runtime knob —

@@ -30,13 +30,17 @@ def choose_fill_mode(genes: Sequence[str], batched) -> str:
 
     The reference's real lesson was strategy selection by workload — its
     S1..S7 evolution picked a different schedule per node/pair shape
-    (SURVEY.md §2.2). The TPU analog: the conveyor amortizes band ramps
-    ACROSS pairs, so it wins once there are several bands to interleave;
-    a workload of very few pairs leaves the conveyor's schedule mostly
-    ramp (and pays a workload-shaped compile), where the per-pair banded
-    path reuses the fixed-geometry kernel. Routing rule (warm-measured,
-    ``artifacts/spec_cap_r5.json``): conveyor at >= ``_CONVEYOR_MIN_PAIRS``
-    eligible pairs, banded below. ``config.fill_mode`` forces either.
+    (SURVEY.md §2.2). The TPU tradeoff is compile-shape reuse, not
+    throughput: warm, the conveyor beats the banded path even on a
+    2-giant-pair workload (0.36 s vs 2 x 0.22 s at the 100k spec cap,
+    ``artifacts/spec_cap_r5.json``), but its program is shaped by the
+    workload's chunk count — a never-seen shape pays a ~44 s Mosaic
+    compile, which a one-shot run of a tiny workload can never amortize
+    (the r4 artifact's unexplained "150x cliff" was exactly this).
+    The banded path reuses the fixed production geometry with no new
+    compile. Routing rule: conveyor at >= ``_CONVEYOR_MIN_PAIRS``
+    eligible pairs (compile amortized / shape likely cached), banded
+    below. ``config.fill_mode`` forces either.
     """
     from msa_tpu.config import DEFAULT
 

@@ -51,6 +51,16 @@ def align_pair(
     if backend == "pallas":
         from msa_tpu.config import DEFAULT
 
+        if len(x) * len(y) < _HOST_THRESHOLD:
+            # Tiny pairs never belong on the device: one dispatch costs
+            # ~80 ms on this link, while the native host kernel finishes
+            # in microseconds (measured: mseq1's 36 tiny pairs took
+            # 2.86 s warm through per-pair jnp dispatches,
+            # artifacts/warm_latency_r5.json pre-fix). Same byte-exact
+            # output — all backends are golden-tested equal.
+            from msa_tpu.native import nw_align_native
+
+            return nw_align_native(x, y, pxy, pgap)
         if len(x) * len(y) < DEFAULT.small_threshold:
             # Small pairs take the jnp full-dirs device path: identical
             # alignment (tie-break tested vs the oracle), but a
@@ -68,12 +78,17 @@ def align_pair(
     raise ValueError(f"unknown backend {backend!r}; expected one of {_BACKENDS}")
 
 
+# Below this many DP cells the host kernel beats ANY device dispatch
+# (link latency ~tens of ms; the native fill does 262k cells in ~1 ms).
+_HOST_THRESHOLD = 1 << 18
+
+
 def _pick_backend(m: int, n: int) -> str:
     """Heuristic dispatch: tiny pairs stay on host, big pairs go to device."""
     import jax
 
     on_accel = jax.default_backend() not in ("cpu",)
-    if on_accel and m * n >= 1 << 18:
+    if on_accel and m * n >= _HOST_THRESHOLD:
         return "pallas"
     try:
         from msa_tpu.native import native_available

@@ -734,13 +734,14 @@ def _conveyor_prepare(gene_table, band_specs, tables16, *,
     static_argnames=(
         "p1", "yfw_len", "yrev_len", "y_cap", "ypad_len",
         "p_group", "g8", "num_bands", "rb", "v_len", "interpret",
-        "prefetch",
+        "prefetch", "burst",
     ),
 )
 def _conveyor_group_walk(
     snaps_flat, brow, gene_table, gpp_g, *,
     p1, yfw_len, yrev_len, y_cap, ypad_len,
     p_group, g8, num_bands, rb, v_len, interpret=False, prefetch=True,
+    burst=4,
 ):
     """One-dispatch group walk: feed build + the P-wide walk kernel."""
     xs_s, yfw_s, yrev_s, wparams = _group_walk_inputs(
@@ -754,7 +755,7 @@ def _conveyor_group_walk(
         snaps_flat, brow, xs_s, yfw_s, yrev_s, wparams,
         p_group=p_group, g8=g8, num_bands=num_bands,
         rb=rb, v_len=v_len, interpret=interpret,
-        rows_at_col_index=True, prefetch=prefetch,
+        rows_at_col_index=True, prefetch=prefetch, burst=burst,
     )
 
 
@@ -763,13 +764,14 @@ def _conveyor_group_walk(
     static_argnames=(
         "p1", "yfw_len", "yrev_len", "y_cap", "ypad_len",
         "p_group", "g8", "num_bands", "rb", "v_len", "interpret",
-        "prefetch",
+        "prefetch", "burst",
     ),
 )
 def _conveyor_walk_scan(
     snaps_flat, brow, gene_table, gpp_chunk, *,
     p1, yfw_len, yrev_len, y_cap, ypad_len,
     p_group, g8, num_bands, rb, v_len, interpret=False, prefetch=True,
+    burst=4,
 ):
     """Several groups' walks in ONE dispatch (lax.scan over groups).
 
@@ -786,6 +788,7 @@ def _conveyor_walk_scan(
             ypad_len=ypad_len,
             p_group=p_group, g8=g8, num_bands=num_bands,
             rb=rb, v_len=v_len, interpret=interpret, prefetch=prefetch,
+            burst=burst,
         )
         return carry, (moves, meta)
 
@@ -1126,6 +1129,7 @@ def align_pairs_conveyor(
                 p_group=P_GROUP, g8=g8_chunks[wq], num_bands=nb_max,
                 rb=rb, v_len=v_len, interpret=interpret,
                 prefetch=bool(DEFAULT.walk_prefetch),
+                burst=max(1, DEFAULT.walk_burst),
             )
             futs.append((cw, moves_s, meta_s))
             wq += 1

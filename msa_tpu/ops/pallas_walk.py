@@ -74,7 +74,7 @@ if _dirs_bytes > _SMEM_BYTES - (64 << 10):
     jax.jit,
     static_argnames=(
         "p_group", "g8", "num_bands", "rb", "v_len", "interpret",
-        "rows_at_col_index", "prefetch",
+        "rows_at_col_index", "prefetch", "burst",
     ),
 )
 def _walk_call(
@@ -98,6 +98,7 @@ def _walk_call(
     interpret: bool = False,
     rows_at_col_index: bool = False,
     prefetch: bool = True,
+    burst: int = 4,
 ):
     """``rows_at_col_index``: boundary rows store column j at index j (the
     conveyor fill's aligned-flush layout) instead of at index j-1; the
@@ -483,14 +484,16 @@ def _walk_call(
 
                 def f_cond(stt):
                     q, t, cnt, acc = stt
-                    return (q > 4) & (t >= 8) & (t - q + dl0 > 4)
+                    return (
+                        (q > burst)
+                        & (t >= 2 * burst)
+                        & (t - q + dl0 > burst)
+                    )
 
                 def f_body(stt):
                     q, t, cnt, acc = stt
-                    q, t, cnt, acc = one_move(q, t, cnt, acc)
-                    q, t, cnt, acc = one_move(q, t, cnt, acc)
-                    q, t, cnt, acc = one_move(q, t, cnt, acc)
-                    q, t, cnt, acc = one_move(q, t, cnt, acc)
+                    for _ in range(burst):
+                        q, t, cnt, acc = one_move(q, t, cnt, acc)
                     return (q, t, cnt, acc)
 
                 def w_cond(stt):

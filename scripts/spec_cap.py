@@ -23,6 +23,9 @@ import numpy as np
 
 
 def main():
+    import pickle
+    import os
+
     from msa_tpu.config import DEFAULT
     from msa_tpu.ops.reference import nw_align_numpy_blocked
 
@@ -35,10 +38,24 @@ def main():
     cells = m * n
     print(f"pair: {m} x {n} = {cells:.3e} cells", flush=True)
 
-    t0 = time.time()
-    host = nw_align_numpy_blocked(x, y, 3, 2)
-    t_host = time.time() - t0
-    print(f"host blocked oracle: {t_host:.1f}s score={host[0]}", flush=True)
+    # The blocked host oracle costs ~16 min per orientation; cache its
+    # (deterministic) outputs so device-side reruns are cheap.
+    cache = f"/root/repo/artifacts/spec_cap_host_{m}x{n}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            host, host_rev, t_host = pickle.load(f)
+        print(f"host oracle (cached): score={host[0]}", flush=True)
+    else:
+        t0 = time.time()
+        host = nw_align_numpy_blocked(x, y, 3, 2)
+        t_host = time.time() - t0
+        print(
+            f"host blocked oracle: {t_host:.1f}s score={host[0]}",
+            flush=True,
+        )
+        host_rev = nw_align_numpy_blocked(y, x, 3, 2)
+        with open(cache, "wb") as f:
+            pickle.dump((host, host_rev, t_host), f)
 
     results = {"m": m, "n": n, "cells": cells,
                "host_s": round(t_host, 1), "score": host[0]}
@@ -68,7 +85,6 @@ def main():
     # decision (models/kway.choose_fill_mode) rests on the warm number.
     from msa_tpu.ops.conveyor import align_pairs_conveyor
 
-    host_rev = nw_align_numpy_blocked(y, x, 3, 2)
     t0 = time.time()
     got = align_pairs_conveyor(genes, pairs, 3, 2)
     t_cold = time.time() - t0
