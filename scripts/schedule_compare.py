@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--nproc", type=int, default=12)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--dataset", default="data/xulin_adversarial.dat")
-    ap.add_argument("--out", default="artifacts/schedule_compare_r4.json")
+    ap.add_argument("--out", default="artifacts/schedule_compare_r5.json")
     args = ap.parse_args()
 
     from msa_tpu.models.kway import KWayAligner
@@ -95,10 +95,11 @@ def main():
     cal_ms = results["policies"]["calibrated"]["makespan_s"]
     results["winner"] = "calibrated" if cal_ms < lpt_ms else "lpt"
     results["decision"] = (
-        "default stays lpt (exact m*n cells model)"
-        if results["winner"] == "lpt"
-        else "calibrated wins on this workload; enable via "
-        "MSA_TPU_SCHEDULE_POLICY=calibrated"
+        "calibrated is the default (disk-cached per device kind, "
+        "~free after first use; falls back to lpt off-accelerator)"
+        if results["winner"] == "calibrated"
+        else "lpt wins on this workload; calibrated stays default with "
+        "cached ~zero cost (r4 showed it winning on skew)"
     )
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
