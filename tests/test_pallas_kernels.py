@@ -281,3 +281,22 @@ def test_conveyor_planner_event_collisions():
         )
         t = conv.build_chunk_tables(plan)  # raises on collision
         assert (t[:, 8] >= 0).sum() == len(pairs), trial
+
+
+def test_conveyor_prefetch_off_interpret(monkeypatch):
+    """walk_prefetch=0 (the r4 entry-issue DMA path) stays byte-exact —
+    both compiled variants of the walk kernel are correctness-covered."""
+    import msa_tpu.ops.conveyor as conv
+
+    monkeypatch.setattr(conv, "CHUNK_PAD", 1)
+    monkeypatch.setattr(conv.DEFAULT, "walk_prefetch", 0)
+    rng = np.random.default_rng(41)
+    rb = max(conv.K, 1024)
+    scale = rb // 1024
+    genes = [_rand_seq(rng, n * scale) for n in (1700, 1200, 800)]
+    pairs = [(i, j) for i in range(1, 3) for j in range(i)]  # 3 pairs
+    got = conv.align_pairs_conveyor(
+        genes, pairs, 3, 2, interpret=True, rb=rb
+    )
+    for (i, j), res in zip(pairs, got):
+        assert res == nw_align_numpy(genes[i], genes[j], 3, 2), (i, j)
