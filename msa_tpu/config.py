@@ -80,6 +80,12 @@ class EngineConfig:
     # 1 = single-device (the pre-r4 behavior). Pairs are LPT-split and each
     # device runs the full fill+walk pipeline concurrently (models/kway).
     local_devices: int = 0
+    # Route a workload whose ONLY big pair cannot be pair-parallelized
+    # through the band-striped cross-device fill (ops/nw_striped): every
+    # local device fills a row stripe, boundary rows stream over the
+    # mesh in K-chunks. Opt-in (0 = off): on a single-chip host the
+    # banded kernel is strictly better.
+    single_pair_striped: int = 0
     # Issue each pair's next-slot seed/feed DMAs at the end of its walk
     # (overlapped with the remaining pairs' walks) instead of at the next
     # slot's entry. 0 = the r4 entry-issue behavior (A/B knob).

@@ -104,6 +104,7 @@ class KWayAligner:
                     )
 
         remaining = [t for t in tasks if t.task_id not in results]
+        remaining = self._maybe_striped(genes, remaining, results, journal)
         batched = self._batched_tasks(genes, remaining)
         if batched:
             from msa_tpu.utils.hashing import pair_hash
@@ -168,6 +169,53 @@ class KWayAligner:
             penalties=penalties,
             pair_results=results if keep_alignments else None,
         )
+
+    def _maybe_striped(self, genes, remaining, results, journal):
+        """Opt-in: a lone giant pair spans ALL local devices, band-striped.
+
+        ``config.single_pair_striped`` routes a workload whose only big
+        pair cannot be pair-parallelized (nothing to shard) through
+        ``ops/nw_striped`` — every device fills a row stripe, boundary
+        rows stream in K-chunks (the reference's S3 scaled across chips,
+        ``submit/xuliny-seqalkway.cpp:462-491``). Off by default: on a
+        single-chip host the banded kernel is strictly better.
+        """
+        from msa_tpu.config import DEFAULT
+
+        if not DEFAULT.single_pair_striped or self.pairwise.backend not in (
+            "pallas", "auto"
+        ):
+            return remaining
+        big = [
+            t for t in remaining
+            if len(genes[t.i]) * len(genes[t.j]) > DEFAULT.small_threshold
+        ]
+        if len(big) != 1:
+            return remaining
+        import jax
+
+        if len(jax.local_devices()) < 2:
+            return remaining
+        from msa_tpu.ops.nw_striped import nw_align_band_striped
+        from msa_tpu.parallel.mesh import get_mesh
+        from msa_tpu.utils.hashing import pair_hash
+        from msa_tpu.utils.logging import get_logger
+
+        t = big[0]
+        get_logger("msa_tpu.kway").info(
+            "lone big pair (%d x %d): band-striped across %d devices",
+            len(genes[t.i]), len(genes[t.j]), len(jax.local_devices()),
+        )
+        penalty, a1, a2 = nw_align_band_striped(
+            genes[t.i], genes[t.j], self.pairwise.pxy, self.pairwise.pgap,
+            get_mesh(), kchunk=DEFAULT.snap_k,
+        )
+        results[t.task_id] = PairResult(
+            t.task_id, penalty, a1, a2, pair_hash(a1, a2)
+        )
+        if journal is not None:
+            journal.record(t.task_id, penalty, pair_hash(a1, a2))
+        return [r for r in remaining if r.task_id != t.task_id]
 
     def _run_batched(
         self, genes: Sequence[str], batched, impl, on_task_result=None

@@ -218,3 +218,35 @@ def test_band_striped_alignment_8_devices():
         y = "".join(rng.choice(list("ACGT"), n))
         got = nw_align_band_striped(x, y, pxy, pgap, mesh, kchunk=kc)
         assert got == nw_align_numpy(x, y, pxy, pgap), (m, n)
+
+
+def test_single_pair_striped_engine(monkeypatch):
+    """single_pair_striped=1: a lone giant pair routes through the
+    band-striped cross-device fill inside the PRODUCTION k-way engine,
+    with the hash chain identical to the host-oracle run."""
+    from msa_tpu.config import DEFAULT
+    from msa_tpu.models.kway import align_kway
+    from msa_tpu.utils.msaio import Problem
+
+    rng = np.random.default_rng(29)
+    x = "".join(rng.choice(list("ACGT"), 2300))
+    y = "".join(rng.choice(list("ACGT"), 2100))
+    problem = Problem(pxy=3, pgap=2, genes=(x, y))
+
+    monkeypatch.setattr(DEFAULT, "single_pair_striped", 1)
+    monkeypatch.setattr(DEFAULT, "small_threshold", 1 << 16)
+    called = {"n": 0}
+    import msa_tpu.ops.nw_striped as striped
+
+    real = striped.nw_align_band_striped
+
+    def counting(*a, **kw):
+        called["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(striped, "nw_align_band_striped", counting)
+    got = align_kway(problem, backend="pallas")
+    want = align_kway(problem, backend="numpy")
+    assert got.chain_hash == want.chain_hash
+    assert got.penalties == want.penalties
+    assert called["n"] == 1, "striped path was not taken"
