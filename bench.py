@@ -40,9 +40,13 @@ def main():
     problem = parse_file("/root/repo/data/mseq-big13-example.txt")
     cells = workload_cells(problem.genes)
 
-    # Warmup pass: populates the (persistent) compile cache; also the
-    # correctness gate — the hash must match the reference's golden output.
+    # Warmup passes: the first populates the compile cache and loads the
+    # programs into the remote backend; the second absorbs the remaining
+    # per-process warm-in (the first timed rep otherwise runs ~10-20%
+    # slow on this platform). Also the correctness gate — the hash must
+    # match the reference's golden output.
     result = align_kway(problem, backend="pallas")
+    align_kway(problem, backend="pallas")
     if result.chain_hash != GOLDEN_HASH or result.penalties != GOLDEN_PENALTIES:
         print(
             json.dumps(
@@ -57,11 +61,13 @@ def main():
         )
         return 1
 
-    # 3 timed reps (best + spread) — the reference's own methodology ran
-    # each config 3 times (testing15/*snowy{,1,2}.out); every rep is
-    # hash-gated, not just the warmup.
+    # 5 timed reps (best + full spread reported) — the reference's own
+    # methodology ran each config 3 times and kept the best
+    # (testing15/*snowy{,1,2}.out); the axon pool here drifts several
+    # percent between moments, so a couple more reps make the best-rep
+    # estimate stabler. Every rep is hash-gated, not just the warmup.
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         result = align_kway(problem, backend="pallas")
         times.append(time.time() - t0)
